@@ -1,0 +1,291 @@
+"""Data pipeline: loaders, preprocessing, scalers (NHWC, numpy-native).
+
+Rebuild of /root/reference/datasets.py. The reference builds tf.data/TFDS
+graphs (datasets.py:94-192); this environment is zero-egress with no TFDS, so
+the rebuild reads local on-disk formats directly and keeps the same
+preprocessing semantics: resize/crop per dataset, optional random flip,
+optional uniform dequantization ``(u + 255·x)/256`` (datasets.py:171-173),
+values in [0,1] NHWC float32, batches dropped to a multiple of the batch
+size. A background prefetch thread overlaps host preprocessing with device
+steps (the reference used a private 48-thread tf.data pool,
+datasets.py:176-192).
+
+Supported sources (config.data.dataset / config.data.data_dir):
+  * CIFAR10  — standard `cifar-10-batches-py` pickle batches
+  * SVHN     — `{train,test}_32x32.mat` (scipy.io)
+  * NPZ      — any .npz with an `images` uint8 array
+  * FOLDER   — a directory of image files (PIL-decodable)
+  * TFRECORD — .tfrecords with raw image bytes under 'data'/'image'
+               (FFHQ/CelebAHQ layout, datasets.py:110-132)
+  * SYNTHETIC (data_dir == '') — deterministic random images, for tests and
+    smoke runs
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+Array = np.ndarray
+
+
+def get_data_scaler(config) -> Callable[[Array], Array]:
+  """[0,1] → [−1,1] iff data.centered (reference datasets.py:23-30)."""
+  if config.data.centered:
+    return lambda x: x * 2.0 - 1.0
+  return lambda x: x
+
+
+def get_data_inverse_scaler(config) -> Callable[[Array], Array]:
+  """Inverse of the scaler (reference datasets.py:33-38)."""
+  if config.data.centered:
+    return lambda x: (x + 1.0) / 2.0
+  return lambda x: x
+
+
+def crop_resize(image: Array, resolution: int) -> Array:
+  """Central-crop to square then bicubic resize (reference datasets.py:41-53)."""
+  from PIL import Image
+  h, w = image.shape[:2]
+  crop = min(h, w)
+  top, left = (h - crop) // 2, (w - crop) // 2
+  image = image[top:top + crop, left:left + crop]
+  img = Image.fromarray(image)
+  img = img.resize((resolution, resolution), Image.BICUBIC)
+  return np.asarray(img)
+
+
+def resize_small(image: Array, resolution: int) -> Array:
+  """Resize preserving aspect so the short side == resolution
+  (reference datasets.py:56-63)."""
+  from PIL import Image
+  h, w = image.shape[:2]
+  ratio = resolution / min(h, w)
+  img = Image.fromarray(image)
+  img = img.resize((int(round(w * ratio)), int(round(h * ratio))),
+                   Image.BICUBIC)
+  return np.asarray(img)
+
+
+def central_crop(image: Array, size: int) -> Array:
+  """Central crop (reference datasets.py:66-71)."""
+  h, w = image.shape[:2]
+  top, left = (h - size) // 2, (w - size) // 2
+  return image[top:top + size, left:left + size]
+
+
+# ---------------------------------------------------------------------------
+# Raw sources → uint8 NHWC arrays (in-memory) or generators
+# ---------------------------------------------------------------------------
+
+
+def _load_cifar10(data_dir: str, split: str) -> Array:
+  base = os.path.join(data_dir, "cifar-10-batches-py")
+  files = ([f"data_batch_{i}" for i in range(1, 6)] if split == "train"
+           else ["test_batch"])
+  arrays = []
+  for f in files:
+    with open(os.path.join(base, f), "rb") as fh:
+      d = pickle.load(fh, encoding="bytes")
+    arrays.append(np.asarray(d[b"data"], np.uint8))
+  data = np.concatenate(arrays, axis=0)
+  return data.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NCHW→NHWC
+
+
+def _load_svhn(data_dir: str, split: str) -> Array:
+  import scipy.io
+  name = "train_32x32.mat" if split == "train" else "test_32x32.mat"
+  mat = scipy.io.loadmat(os.path.join(data_dir, name))
+  return np.transpose(mat["X"], (3, 0, 1, 2)).astype(np.uint8)
+
+
+def _load_npz(data_dir: str, split: str) -> Array:
+  path = data_dir if data_dir.endswith(".npz") else os.path.join(
+      data_dir, f"{split}.npz")
+  with np.load(path) as z:
+    key = "images" if "images" in z else list(z.keys())[0]
+    return np.asarray(z[key], np.uint8)
+
+
+def _iter_folder(data_dir: str, resolution: int):
+  from PIL import Image
+  exts = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+  files = sorted(
+      os.path.join(r, f)
+      for r, _, fs in os.walk(data_dir)
+      for f in fs if os.path.splitext(f)[1].lower() in exts)
+  if not files:
+    raise FileNotFoundError(f"No images under {data_dir}")
+
+  def gen():
+    for path in files:
+      img = np.asarray(Image.open(path).convert("RGB"))
+      yield crop_resize(img, resolution)
+
+  return gen, len(files)
+
+
+def _iter_tfrecords(data_dir: str, resolution: int):
+  """FFHQ/CelebAHQ-style TFRecords (reference datasets.py:110-132)."""
+  import tensorflow as tf
+  tf.config.set_visible_devices([], "GPU")
+  files = sorted(
+      os.path.join(r, f)
+      for r, _, fs in os.walk(data_dir)
+      for f in fs if f.endswith((".tfrecords", ".tfrecord")))
+  if not files:
+    raise FileNotFoundError(f"No tfrecords under {data_dir}")
+
+  feature_desc = {
+      "shape": tf.io.FixedLenFeature([3], tf.int64),
+      "data": tf.io.FixedLenFeature([], tf.string),
+  }
+
+  def gen():
+    ds = tf.data.TFRecordDataset(files)
+    for rec in ds:
+      ex = tf.io.parse_single_example(rec, feature_desc)
+      shape = ex["shape"].numpy()
+      img = np.frombuffer(ex["data"].numpy(), np.uint8).reshape(shape)
+      img = img.transpose(1, 2, 0)  # CHW → HWC
+      if img.shape[0] != resolution:
+        img = crop_resize(img, resolution)
+      yield img
+
+  return gen, None
+
+
+def _synthetic(config, split: str) -> Array:
+  """Deterministic random images for tests / zero-egress smoke runs."""
+  n = 512 if split == "train" else 128
+  rng = np.random.default_rng(0 if split == "train" else 1)
+  size = config.data.image_size
+  return rng.integers(0, 256,
+                      size=(n, size, size, config.data.num_channels),
+                      dtype=np.uint8).astype(np.uint8)
+
+
+def load_raw_dataset(config, split: str):
+  """Resolve config → (in-memory uint8 array) or (generator, count)."""
+  name = config.data.dataset.upper()
+  data_dir = config.data.get("data_dir", "")
+  size = config.data.image_size
+  if not data_dir:
+    return _synthetic(config, split)
+  if name == "CIFAR10":
+    return _load_cifar10(data_dir, split)
+  if name == "SVHN":
+    return _load_svhn(data_dir, split)
+  if name == "NPZ":
+    return _load_npz(data_dir, split)
+  if name in ("CELEBA", "LSUN", "FOLDER"):
+    gen, _ = _iter_folder(os.path.join(data_dir, split)
+                          if os.path.isdir(os.path.join(data_dir, split))
+                          else data_dir, size)
+    return np.stack(list(gen()))  # materialize; LSUN-scale should use FOLDER_STREAM
+  if name in ("FFHQ", "CELEBAHQ"):
+    gen, _ = _iter_tfrecords(data_dir, size)
+    return np.stack(list(gen()))
+  raise NotImplementedError(f"Dataset {name} not supported.")
+
+
+# ---------------------------------------------------------------------------
+# Batching pipeline
+# ---------------------------------------------------------------------------
+
+
+class _Prefetcher:
+  """Background-thread prefetch of prepared batches."""
+
+  def __init__(self, make_iter, depth: int = 2):
+    self._make_iter = make_iter
+    self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+    self._thread = threading.Thread(target=self._run, daemon=True)
+    self._thread.start()
+
+  def _run(self):
+    it = self._make_iter()
+    while True:
+      self._q.put(next(it))
+
+  def __iter__(self):
+    return self
+
+  def __next__(self):
+    return self._q.get()
+
+
+class DatasetIterator:
+  """Infinite epoch-shuffled batch iterator over an in-memory uint8 array.
+
+  Yields float32 NHWC batches in [0,1] with the reference's preprocessing:
+  optional horizontal flip (train only) and uniform dequantization
+  (reference datasets.py:149-174). ``batch_shape`` may add leading axes
+  (e.g. ``(n_jitted_steps, batch)``).
+  """
+
+  def __init__(self, images: Array, batch_size: int, *,
+               random_flip: bool = False,
+               uniform_dequantization: bool = False,
+               shuffle: bool = True, seed: int = 0,
+               prefetch: bool = True):
+    assert images.dtype == np.uint8 and images.ndim == 4
+    self.images = images
+    self.batch_size = batch_size
+    self.random_flip = random_flip
+    self.uniform_dequantization = uniform_dequantization
+    self.shuffle = shuffle
+    self.seed = seed
+    src = self._batches
+    self._it = _Prefetcher(src) if prefetch else src()
+
+  def _batches(self):
+    rng = np.random.default_rng(self.seed)
+    n = self.images.shape[0]
+    while True:
+      order = rng.permutation(n) if self.shuffle else np.arange(n)
+      # drop_remainder=True (reference datasets.py:189)
+      for start in range(0, n - self.batch_size + 1, self.batch_size):
+        idx = order[start:start + self.batch_size]
+        batch = self.images[idx].astype(np.float32)
+        if self.random_flip:
+          flips = rng.random(len(idx)) < 0.5
+          batch[flips] = batch[flips, :, ::-1, :]
+        if self.uniform_dequantization:
+          u = rng.random(batch.shape).astype(np.float32)
+          batch = (u + batch) / 256.0
+        else:
+          batch = batch / 255.0
+        yield batch
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> Array:
+    return next(self._it)
+
+
+def get_dataset(config, *, uniform_dequantization: bool = False,
+                evaluation: bool = False
+                ) -> Tuple[DatasetIterator, DatasetIterator]:
+  """Build (train_iter, eval_iter) (reference datasets.py:71-196).
+
+  ``uniform_dequantization`` overrides the config flag (used by the bpd eval
+  pipeline, reference run_lib.py:236).
+  """
+  batch_size = (config.training.batch_size if not evaluation
+                else config.eval.batch_size)
+  dequant = uniform_dequantization or config.data.uniform_dequantization
+  train_imgs = load_raw_dataset(config, "train")
+  eval_imgs = load_raw_dataset(config, "test")
+  train_it = DatasetIterator(
+      train_imgs, batch_size, random_flip=config.data.random_flip,
+      uniform_dequantization=dequant, shuffle=True, seed=config.seed)
+  eval_it = DatasetIterator(
+      eval_imgs, batch_size, random_flip=False,
+      uniform_dequantization=dequant, shuffle=False, seed=config.seed + 1)
+  return train_it, eval_it

@@ -1,0 +1,89 @@
+"""Exact likelihood (bits/dim) via the probability-flow ODE.
+
+Rebuild of /root/reference/likelihood.py. Differences:
+
+* Divergence is estimated with a forward-mode `jax.jvp` Hutchinson–Skilling
+  estimator instead of the reference's autograd vjp (likelihood.py:26-37) —
+  one fused fwd pass, no autograd graph retention.
+* The augmented [x; Δlogp] ODE integrates entirely on device with the
+  adaptive RK45 in `score_sde_pytorch_tpu.ode` (the reference flattens to
+  numpy and calls scipy per NFE, likelihood.py:94-99).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from score_sde_pytorch_tpu import ode as ode_lib
+from score_sde_pytorch_tpu import sde as sde_lib
+from score_sde_pytorch_tpu.models import utils as mutils
+
+Array = jax.Array
+
+
+def get_div_fn(fn: Callable[[Array, Array], Array]) -> Callable:
+  """Hutchinson–Skilling divergence ``E_eps[eps^T (dfn/dx) eps]`` via jvp."""
+
+  def div_fn(x: Array, t: Array, eps: Array) -> Array:
+    _, jvp_val = jax.jvp(lambda xx: fn(xx, t), (x,), (eps,))
+    return jnp.sum(jvp_val * eps, axis=tuple(range(1, x.ndim)))
+
+  return div_fn
+
+
+def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
+                      hutchinson_type: str = "Rademacher",
+                      rtol: float = 1e-5, atol: float = 1e-5,
+                      eps: float = 1e-5) -> Callable:
+  """Bits/dim likelihood function (reference likelihood.py:40-113).
+
+  Returns ``likelihood_fn(rng, params, data) -> (bpd, z, nfe)`` where
+  ``data`` is a scaled NHWC batch; ``bpd`` has shape [B].
+  """
+
+  def drift_fn(params, x: Array, t: Array) -> Array:
+    score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
+                                   continuous=True)
+    rsde = sde.reverse(score_fn, probability_flow=True)
+    return rsde.sde(x, t)[0]
+
+  @jax.jit
+  def likelihood_fn(rng: Array, params, data: Array):
+    shape = data.shape
+    rng, eps_rng = jax.random.split(rng)
+    if hutchinson_type == "Gaussian":
+      epsilon = jax.random.normal(eps_rng, shape)
+    elif hutchinson_type == "Rademacher":
+      epsilon = (jax.random.randint(eps_rng, shape, 0, 2)
+                 .astype(data.dtype) * 2 - 1)
+    else:
+      raise NotImplementedError(
+          f"Hutchinson type {hutchinson_type} unknown.")
+
+    div_fn = get_div_fn(lambda x, t: drift_fn(params, x, t))
+
+    def aug_drift(y, t_scalar):
+      x, _ = y
+      t = jnp.full((shape[0],), t_scalar)
+      dx = drift_fn(params, x, t)
+      dlogp = div_fn(x, t, epsilon)
+      return (dx, dlogp)
+
+    init = (data, jnp.zeros((shape[0],), data.dtype))
+    (z, delta_logp), nfe = ode_lib.odeint_rk45(
+        aug_drift, init, eps, sde.T, rtol=rtol, atol=atol)
+
+    prior_logp = sde.prior_logp(z)
+    n_dims = math.prod(shape[1:])
+    bpd = -(prior_logp + delta_logp) / jnp.log(2.0) / n_dims
+    # Data scaling offset (reference likelihood.py:106-110): with
+    # inverse_scaler mapping model space back to [0,1],
+    # offset = 7 - inverse_scaler(-1).
+    offset = 7.0 - inverse_scaler(-1.0)
+    bpd = bpd + offset
+    return bpd, z, nfe
+
+  return likelihood_fn

@@ -1,0 +1,238 @@
+"""Losses, optimizer, and train/eval step functions (pure JAX).
+
+Rebuild of /root/reference/losses.py. The torch version mutates
+optimizer/EMA state in place (losses.py:191-206); here a `TrainState` pytree
+flows through pure step functions, and `get_n_step_fn` fuses
+``n_jitted_steps`` optimizer steps into one jitted `lax.scan` — the design
+the reference's own docstring points at (losses.py:180).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from score_sde_pytorch_tpu import sde as sde_lib
+from score_sde_pytorch_tpu.models import ema as ema_lib
+from score_sde_pytorch_tpu.models import utils as mutils
+from score_sde_pytorch_tpu.sde import batch_mul
+
+Array = jax.Array
+
+
+@flax.struct.dataclass
+class TrainState:
+  """All mutable training state as one pytree (replaces the reference's
+  state dict of torch objects, run_lib.py:69-71)."""
+  step: jnp.ndarray
+  params: Any
+  opt_state: Any
+  ema: ema_lib.EMAState
+  rng: Array
+
+
+def get_optimizer(config) -> optax.GradientTransformation:
+  """Adam + linear LR warmup + global-norm clip (reference losses.py:26-52)."""
+  if config.optim.optimizer != "Adam":
+    raise NotImplementedError(
+        f"Optimizer {config.optim.optimizer} not supported yet!")
+
+  def lr_schedule(step):
+    warmup = config.optim.warmup
+    lr = config.optim.lr
+    if warmup > 0:
+      return lr * jnp.minimum(step / warmup, 1.0)
+    return lr
+
+  chain = []
+  if config.optim.grad_clip >= 0:
+    chain.append(optax.clip_by_global_norm(config.optim.grad_clip))
+  if config.optim.get("weight_decay", 0):
+    chain.append(optax.adamw(lr_schedule, b1=config.optim.beta1, b2=0.999,
+                             eps=config.optim.eps,
+                             weight_decay=config.optim.weight_decay))
+  else:
+    chain.append(optax.adam(lr_schedule, b1=config.optim.beta1, b2=0.999,
+                            eps=config.optim.eps))
+  return optax.chain(*chain)
+
+
+def init_train_state(config, rng: Array) -> Tuple[Any, TrainState]:
+  """Create model + optimizer + EMA state (reference run_lib.py:63-71)."""
+  model_rng, state_rng = jax.random.split(rng)
+  model_def, variables = mutils.create_model(config, model_rng)
+  params = variables["params"]
+  optimizer = get_optimizer(config)
+  opt_state = optimizer.init(params)
+  state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                     opt_state=opt_state,
+                     ema=ema_lib.init(params, decay=config.model.ema_rate),
+                     rng=state_rng)
+  return model_def, state
+
+
+def get_sde_loss_fn(sde: sde_lib.SDE, model_def, train: bool,
+                    reduce_mean: bool = True, continuous: bool = True,
+                    likelihood_weighting: bool = True,
+                    eps: float = 1e-5) -> Callable:
+  """Continuous-time score-matching loss (reference losses.py:55-101).
+
+  Returns ``loss_fn(params, batch, rng) -> scalar``.
+  """
+  reduce_op = (jnp.mean if reduce_mean
+               else lambda x, axis=None: 0.5 * jnp.sum(x, axis=axis))
+
+  def loss_fn(params, batch: Array, rng: Array) -> Array:
+    score_fn = mutils.get_score_fn(sde, model_def, params, train=train,
+                                   continuous=continuous)
+    t_rng, z_rng, drop_rng = jax.random.split(rng, 3)
+    t = jax.random.uniform(t_rng, (batch.shape[0],),
+                           minval=eps, maxval=sde.T)
+    z = jax.random.normal(z_rng, batch.shape)
+    mean, std = sde.marginal_prob(batch, t)
+    perturbed_data = mean + batch_mul(std, z)
+    score = score_fn(perturbed_data, t, rng=drop_rng)
+
+    if not likelihood_weighting:
+      losses = jnp.square(batch_mul(std, score) + z)
+      losses = reduce_op(losses.reshape(losses.shape[0], -1), axis=-1)
+    else:
+      g2 = sde.sde(jnp.zeros_like(batch), t)[1] ** 2
+      losses = jnp.square(score + batch_mul(1.0 / std, z))
+      losses = reduce_op(losses.reshape(losses.shape[0], -1), axis=-1) * g2
+    return jnp.mean(losses)
+
+  return loss_fn
+
+
+def get_smld_loss_fn(vesde: sde_lib.VESDE, model_def, train: bool,
+                     reduce_mean: bool = False) -> Callable:
+  """Legacy SMLD/NCSN loss with descending-sigma labels
+  (reference losses.py:104-125)."""
+  assert isinstance(vesde, sde_lib.VESDE), "SMLD training only works for VESDEs."
+  # Previous SMLD models assume descending sigmas.
+  smld_sigma_array = jnp.flip(vesde.discrete_sigmas)
+  reduce_op = (jnp.mean if reduce_mean
+               else lambda x, axis=None: 0.5 * jnp.sum(x, axis=axis))
+
+  def loss_fn(params, batch: Array, rng: Array) -> Array:
+    model_fn = mutils.get_model_fn(model_def, params, train=train)
+    label_rng, z_rng, drop_rng = jax.random.split(rng, 3)
+    labels = jax.random.randint(label_rng, (batch.shape[0],), 0, vesde.N)
+    sigmas = smld_sigma_array[labels]
+    noise = batch_mul(sigmas, jax.random.normal(z_rng, batch.shape))
+    perturbed_data = noise + batch
+    score = model_fn(perturbed_data, labels, rng=drop_rng)
+    target = batch_mul(-1.0 / sigmas ** 2, noise)
+    losses = jnp.square(score - target)
+    losses = reduce_op(losses.reshape(losses.shape[0], -1), axis=-1) * sigmas ** 2
+    return jnp.mean(losses)
+
+  return loss_fn
+
+
+def get_ddpm_loss_fn(vpsde: sde_lib.VPSDE, model_def, train: bool,
+                     reduce_mean: bool = True) -> Callable:
+  """Legacy DDPM epsilon-prediction loss (reference losses.py:128-148)."""
+  assert isinstance(vpsde, sde_lib.VPSDE), "DDPM training only works for VPSDEs."
+  reduce_op = (jnp.mean if reduce_mean
+               else lambda x, axis=None: 0.5 * jnp.sum(x, axis=axis))
+  sqrt_ac = vpsde.sqrt_alphas_cumprod
+  sqrt_1m_ac = vpsde.sqrt_1m_alphas_cumprod
+
+  def loss_fn(params, batch: Array, rng: Array) -> Array:
+    model_fn = mutils.get_model_fn(model_def, params, train=train)
+    label_rng, z_rng, drop_rng = jax.random.split(rng, 3)
+    labels = jax.random.randint(label_rng, (batch.shape[0],), 0, vpsde.N)
+    noise = jax.random.normal(z_rng, batch.shape)
+    perturbed_data = (batch_mul(sqrt_ac[labels], batch)
+                      + batch_mul(sqrt_1m_ac[labels], noise))
+    score = model_fn(perturbed_data, labels, rng=drop_rng)
+    losses = jnp.square(score - noise)
+    losses = reduce_op(losses.reshape(losses.shape[0], -1), axis=-1)
+    return jnp.mean(losses)
+
+  return loss_fn
+
+
+def _select_loss_fn(sde, model_def, train, reduce_mean, continuous,
+                    likelihood_weighting):
+  """Loss dispatch (reference losses.py:165-175)."""
+  if continuous:
+    return get_sde_loss_fn(sde, model_def, train, reduce_mean=reduce_mean,
+                           continuous=True,
+                           likelihood_weighting=likelihood_weighting)
+  assert not likelihood_weighting, \
+      "Likelihood weighting is not supported for original SMLD/DDPM training."
+  if isinstance(sde, sde_lib.VESDE):
+    return get_smld_loss_fn(sde, model_def, train, reduce_mean=reduce_mean)
+  if isinstance(sde, sde_lib.VPSDE):
+    return get_ddpm_loss_fn(sde, model_def, train, reduce_mean=reduce_mean)
+  raise ValueError(
+      f"Discrete training for {sde.__class__.__name__} is not recommended.")
+
+
+def get_step_fn(sde: sde_lib.SDE, model_def, train: bool,
+                optimizer: Optional[optax.GradientTransformation] = None,
+                reduce_mean: bool = False, continuous: bool = True,
+                likelihood_weighting: bool = False,
+                axis_name: Optional[str] = None) -> Callable:
+  """One train/eval step as a pure function (reference losses.py:151-210).
+
+  ``step_fn(state, batch) -> (state, loss)``. When ``axis_name`` is given the
+  gradients/losses are averaged with `lax.pmean` over that mapped axis (for
+  use under shard_map/pmap); under plain pjit + replicated params, XLA's SPMD
+  partitioner inserts the collective automatically and ``axis_name`` is None.
+  """
+  loss_fn = _select_loss_fn(sde, model_def, train, reduce_mean, continuous,
+                            likelihood_weighting)
+
+  if train:
+    assert optimizer is not None
+
+    def step_fn(state: TrainState, batch: Array) -> Tuple[TrainState, Array]:
+      rng, step_rng = jax.random.split(state.rng)
+      grad_fn = jax.value_and_grad(loss_fn)
+      loss, grads = grad_fn(state.params, batch, step_rng)
+      if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+      updates, opt_state = optimizer.update(grads, state.opt_state,
+                                            state.params)
+      params = optax.apply_updates(state.params, updates)
+      ema = ema_lib.update(state.ema, params)
+      new_state = state.replace(step=state.step + 1, params=params,
+                                opt_state=opt_state, ema=ema, rng=rng)
+      return new_state, loss
+
+  else:
+
+    def step_fn(state: TrainState, batch: Array) -> Tuple[TrainState, Array]:
+      rng, step_rng = jax.random.split(state.rng)
+      # Evaluate with EMA parameters (reference losses.py:200-206).
+      loss = loss_fn(state.ema.params, batch, step_rng)
+      if axis_name is not None:
+        loss = jax.lax.pmean(loss, axis_name)
+      return state.replace(rng=rng), loss
+
+  return step_fn
+
+
+def get_n_step_fn(sde, model_def, train: bool,
+                  optimizer: Optional[optax.GradientTransformation] = None,
+                  n_steps: int = 1, **kwargs) -> Callable:
+  """Fuse ``n_steps`` optimizer steps into one `lax.scan` body.
+
+  ``n_step_fn(state, batches)`` where ``batches`` has a leading
+  ``[n_steps, ...]`` axis; returns ``(state, losses[n_steps])``. With
+  ``n_steps=1`` this is just `get_step_fn` modulo the batch axis.
+  """
+  step_fn = get_step_fn(sde, model_def, train, optimizer, **kwargs)
+
+  def n_step_fn(state: TrainState, batches: Array):
+    return jax.lax.scan(step_fn, state, batches)
+
+  return n_step_fn

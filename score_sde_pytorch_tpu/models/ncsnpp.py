@@ -1,0 +1,230 @@
+"""NCSN++ / DDPM++ flagship U-Net score network (flax, NHWC).
+
+Rebuild of /root/reference/models/ncsnpp.py:34-381. Instead of the
+reference's flat nn.ModuleList + manual index counter, submodules are
+constructed in traversal order inside one `nn.compact` __call__ — flax
+names them deterministically, and the whole forward traces into a single
+XLA computation.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_sde_pytorch_tpu.models import layers, layerspp, utils
+
+Array = jax.Array
+
+ResnetBlockDDPM = layerspp.ResnetBlockDDPMpp
+ResnetBlockBigGAN = layerspp.ResnetBlockBigGANpp
+Combine = layerspp.Combine
+conv3x3 = layerspp.conv3x3
+conv1x1 = layerspp.conv1x1
+default_initializer = layers.default_init
+
+
+@utils.register_model(name="ncsnpp")
+class NCSNpp(nn.Module):
+  """NCSN++ model. Static architecture config is captured from `config`."""
+  config: Any
+
+  @nn.compact
+  def __call__(self, x: Array, time_cond: Array,
+               train: bool = False) -> Array:
+    config = self.config
+    act = layers.get_act(config.model.nonlinearity)
+    nf = config.model.nf
+    ch_mult = config.model.ch_mult
+    num_res_blocks = config.model.num_res_blocks
+    attn_resolutions = config.model.attn_resolutions
+    dropout = config.model.dropout
+    resamp_with_conv = config.model.resamp_with_conv
+    num_resolutions = len(ch_mult)
+    conditional = config.model.conditional
+    fir = config.model.fir
+    fir_kernel = tuple(config.model.fir_kernel)
+    skip_rescale = config.model.skip_rescale
+    resblock_type = config.model.resblock_type.lower()
+    progressive = config.model.progressive.lower()
+    progressive_input = config.model.progressive_input.lower()
+    embedding_type = config.model.embedding_type.lower()
+    init_scale = config.model.init_scale
+    combine_method = config.model.progressive_combine.lower()
+    assert progressive in ["none", "output_skip", "residual"]
+    assert progressive_input in ["none", "input_skip", "residual"]
+    assert embedding_type in ["fourier", "positional"]
+
+    deterministic = not train
+
+    def resnet_block(*, out_ch=None, up=False, down=False, name=None):
+      if resblock_type == "ddpm":
+        assert not (up or down)
+        return ResnetBlockDDPM(act=act, out_ch=out_ch, dropout=dropout,
+                               init_scale=init_scale,
+                               skip_rescale=skip_rescale,
+                               temb_dim=nf * 4, name=name)
+      elif resblock_type == "biggan":
+        return ResnetBlockBigGAN(act=act, out_ch=out_ch, up=up, down=down,
+                                 dropout=dropout, fir=fir,
+                                 fir_kernel=fir_kernel,
+                                 init_scale=init_scale,
+                                 skip_rescale=skip_rescale,
+                                 temb_dim=nf * 4, name=name)
+      raise ValueError(f"resblock type {resblock_type} unrecognized.")
+
+    def attn_block(name=None):
+      return layerspp.AttnBlockpp(init_scale=init_scale,
+                                  skip_rescale=skip_rescale, name=name)
+
+    # --- time embedding (reference ncsnpp.py:232-258) ---
+    if embedding_type == "fourier":
+      assert config.training.continuous, \
+          "Fourier features are only used for continuous training."
+      used_sigmas = time_cond
+      temb = layerspp.GaussianFourierProjection(
+          embedding_size=nf, scale=config.model.fourier_scale,
+          name="FourierProj")(jnp.log(used_sigmas))
+    elif embedding_type == "positional":
+      timesteps = time_cond
+      sigmas = jnp.asarray(utils.get_sigmas(config))
+      used_sigmas = sigmas[time_cond.astype(jnp.int32)]
+      temb = layers.get_timestep_embedding(timesteps, nf)
+    else:
+      raise ValueError(f"embedding type {embedding_type} unknown.")
+
+    if conditional:
+      temb = nn.Dense(nf * 4, kernel_init=default_initializer(),
+                      bias_init=nn.initializers.zeros, name="Dense_t0")(temb)
+      temb = nn.Dense(nf * 4, kernel_init=default_initializer(),
+                      bias_init=nn.initializers.zeros,
+                      name="Dense_t1")(act(temb))
+    else:
+      temb = None
+
+    if not config.data.centered:
+      x = 2 * x - 1.0  # [0,1] → [−1,1]
+
+    # --- downsampling trunk (reference ncsnpp.py:260-296) ---
+    input_pyramid = x if progressive_input != "none" else None
+
+    hs = [conv3x3(nf, name="conv_in")(x)]
+    for i_level in range(num_resolutions):
+      for i_block in range(num_res_blocks):
+        h = resnet_block(out_ch=nf * ch_mult[i_level],
+                         name=f"down_{i_level}_block_{i_block}")(
+            hs[-1], temb, deterministic=deterministic)
+        if h.shape[1] in attn_resolutions:
+          h = attn_block(name=f"down_{i_level}_attn_{i_block}")(h)
+        hs.append(h)
+
+      if i_level != num_resolutions - 1:
+        if resblock_type == "ddpm":
+          h = layerspp.Downsample(with_conv=resamp_with_conv, fir=fir,
+                                  fir_kernel=fir_kernel,
+                                  name=f"down_{i_level}_downsample")(hs[-1])
+        else:
+          h = resnet_block(down=True, name=f"down_{i_level}_downsample")(
+              hs[-1], temb, deterministic=deterministic)
+
+        if progressive_input == "input_skip":
+          input_pyramid = layerspp.Downsample(
+              fir=fir, fir_kernel=fir_kernel, with_conv=False,
+              name=f"pyramid_downsample_{i_level}")(input_pyramid)
+          h = Combine(dim2=h.shape[-1], method=combine_method,
+                      name=f"combine_{i_level}")(input_pyramid, h)
+        elif progressive_input == "residual":
+          input_pyramid = layerspp.Downsample(
+              out_ch=h.shape[-1], fir=fir, fir_kernel=fir_kernel,
+              with_conv=True,
+              name=f"pyramid_downsample_{i_level}")(input_pyramid)
+          if skip_rescale:
+            input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
+          else:
+            input_pyramid = input_pyramid + h
+          h = input_pyramid
+        hs.append(h)
+
+    # --- bottleneck (reference ncsnpp.py:298-304) ---
+    h = hs[-1]
+    h = resnet_block(name="mid_block_0")(h, temb, deterministic=deterministic)
+    h = attn_block(name="mid_attn")(h)
+    h = resnet_block(name="mid_block_1")(h, temb, deterministic=deterministic)
+
+    # --- upsampling trunk with progressive output (reference ncsnpp.py:306-366) ---
+    pyramid = None
+    for i_level in reversed(range(num_resolutions)):
+      for i_block in range(num_res_blocks + 1):
+        h = resnet_block(out_ch=nf * ch_mult[i_level],
+                         name=f"up_{i_level}_block_{i_block}")(
+            jnp.concatenate([h, hs.pop()], axis=-1), temb,
+            deterministic=deterministic)
+
+      if h.shape[1] in attn_resolutions:
+        h = attn_block(name=f"up_{i_level}_attn")(h)
+
+      if progressive != "none":
+        if i_level == num_resolutions - 1:
+          if progressive == "output_skip":
+            pyramid = act(nn.GroupNorm(
+                num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6,
+                name=f"pyramid_norm_{i_level}")(h))
+            pyramid = conv3x3(x.shape[-1], init_scale=init_scale,
+                              name=f"pyramid_conv_{i_level}")(pyramid)
+          elif progressive == "residual":
+            pyramid = act(nn.GroupNorm(
+                num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6,
+                name=f"pyramid_norm_{i_level}")(h))
+            pyramid = conv3x3(h.shape[-1], name=f"pyramid_conv_{i_level}")(pyramid)
+          else:
+            raise ValueError(f"{progressive} is not a valid name.")
+        else:
+          if progressive == "output_skip":
+            pyramid = layerspp.Upsample(
+                fir=fir, fir_kernel=fir_kernel, with_conv=False,
+                name=f"pyramid_upsample_{i_level}")(pyramid)
+            pyramid_h = act(nn.GroupNorm(
+                num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6,
+                name=f"pyramid_norm_{i_level}")(h))
+            pyramid_h = conv3x3(x.shape[-1], init_scale=init_scale,
+                                name=f"pyramid_conv_{i_level}")(pyramid_h)
+            pyramid = pyramid + pyramid_h
+          elif progressive == "residual":
+            pyramid = layerspp.Upsample(
+                out_ch=h.shape[-1], fir=fir, fir_kernel=fir_kernel,
+                with_conv=True,
+                name=f"pyramid_upsample_{i_level}")(pyramid)
+            if skip_rescale:
+              pyramid = (pyramid + h) / np.sqrt(2.0)
+            else:
+              pyramid = pyramid + h
+            h = pyramid
+          else:
+            raise ValueError(f"{progressive} is not a valid name")
+
+      if i_level != 0:
+        if resblock_type == "ddpm":
+          h = layerspp.Upsample(with_conv=resamp_with_conv, fir=fir,
+                                fir_kernel=fir_kernel,
+                                name=f"up_{i_level}_upsample")(h)
+        else:
+          h = resnet_block(up=True, name=f"up_{i_level}_upsample")(
+              h, temb, deterministic=deterministic)
+
+    assert not hs
+
+    if progressive == "output_skip":
+      h = pyramid
+    else:
+      h = act(nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
+                           epsilon=1e-6, name="norm_out")(h))
+      h = conv3x3(x.shape[-1], init_scale=init_scale, name="conv_out")(h)
+
+    if config.model.scale_by_sigma:
+      used_sigmas = used_sigmas.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+      h = h / used_sigmas
+
+    return h

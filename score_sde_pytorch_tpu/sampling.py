@@ -1,0 +1,326 @@
+"""Samplers: predictor–corrector (one jitted lax.scan) and probability-flow ODE.
+
+Rebuild of /root/reference/sampling.py. Key TPU-native differences:
+
+* Predictors/correctors are pure update functions ``(rng, x, t) -> (x, x_mean)``
+  selected *statically* from the registries; the whole PC loop is ONE
+  `lax.scan` inside `jax.jit` — the reference re-constructs the
+  predictor/corrector objects and re-wraps score_fn every step
+  (sampling.py:335-341), pure Python overhead here traced away.
+* The ODE sampler integrates on-device with an adaptive Dormand–Prince RK45
+  (`score_sde_pytorch_tpu.ode`) instead of bridging to scipy on the host
+  per NFE (reference sampling.py:466-470 — 2 host↔device copies per NFE).
+* RNG is explicitly threaded.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from score_sde_pytorch_tpu import ode as ode_lib
+from score_sde_pytorch_tpu import sde as sde_lib
+from score_sde_pytorch_tpu.models import utils as mutils
+from score_sde_pytorch_tpu.sde import batch_mul
+
+Array = jax.Array
+
+_PREDICTORS = {}
+_CORRECTORS = {}
+
+
+def register_predictor(cls=None, *, name: Optional[str] = None):
+  """Decorator registry (reference sampling.py:30-49)."""
+
+  def _register(cls):
+    local_name = cls.__name__ if name is None else name
+    if local_name in _PREDICTORS:
+      raise ValueError(f"Already registered predictor with name: {local_name}")
+    _PREDICTORS[local_name] = cls
+    return cls
+
+  return _register if cls is None else _register(cls)
+
+
+def register_corrector(cls=None, *, name: Optional[str] = None):
+
+  def _register(cls):
+    local_name = cls.__name__ if name is None else name
+    if local_name in _CORRECTORS:
+      raise ValueError(f"Already registered corrector with name: {local_name}")
+    _CORRECTORS[local_name] = cls
+    return cls
+
+  return _register if cls is None else _register(cls)
+
+
+def get_predictor(name: str):
+  return _PREDICTORS[name]
+
+
+def get_corrector(name: str):
+  return _CORRECTORS[name]
+
+
+# ---------------------------------------------------------------------------
+# Predictors: factories returning pure update fns (rng, x, t) -> (x, x_mean)
+# ---------------------------------------------------------------------------
+
+
+@register_predictor(name="euler_maruyama")
+def euler_maruyama_predictor(sde, score_fn, probability_flow=False):
+  """Reference sampling.py:176-187."""
+  rsde = sde.reverse(score_fn, probability_flow)
+
+  def update_fn(rng, x, t):
+    dt = -1.0 / rsde.N
+    z = jax.random.normal(rng, x.shape)
+    drift, diffusion = rsde.sde(x, t)
+    x_mean = x + drift * dt
+    x = x_mean + batch_mul(diffusion, math.sqrt(-dt) * z)
+    return x, x_mean
+
+  return update_fn
+
+
+@register_predictor(name="reverse_diffusion")
+def reverse_diffusion_predictor(sde, score_fn, probability_flow=False):
+  """Reference sampling.py:190-200."""
+  rsde = sde.reverse(score_fn, probability_flow)
+
+  def update_fn(rng, x, t):
+    f, g = rsde.discretize(x, t)
+    z = jax.random.normal(rng, x.shape)
+    x_mean = x - f
+    x = x_mean + batch_mul(g, z)
+    return x, x_mean
+
+  return update_fn
+
+
+@register_predictor(name="ancestral_sampling")
+def ancestral_sampling_predictor(sde, score_fn, probability_flow=False):
+  """Exact SMLD/DDPM ancestral rules (reference sampling.py:203-239)."""
+  assert not probability_flow, \
+      "Probability flow not supported by ancestral sampling"
+  if isinstance(sde, sde_lib.VESDE):
+
+    def update_fn(rng, x, t):
+      timestep = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+      sigma = sde.discrete_sigmas[timestep]
+      adjacent_sigma = jnp.where(
+          timestep == 0, jnp.zeros_like(sigma),
+          sde.discrete_sigmas[jnp.maximum(timestep - 1, 0)])
+      score = score_fn(x, t)
+      x_mean = x + batch_mul(sigma ** 2 - adjacent_sigma ** 2, score)
+      std = jnp.sqrt(adjacent_sigma ** 2 * (sigma ** 2 - adjacent_sigma ** 2)
+                     / sigma ** 2)
+      noise = jax.random.normal(rng, x.shape)
+      return x_mean + batch_mul(std, noise), x_mean
+
+    return update_fn
+  elif isinstance(sde, sde_lib.VPSDE):
+
+    def update_fn(rng, x, t):
+      timestep = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+      beta = sde.discrete_betas[timestep]
+      score = score_fn(x, t)
+      x_mean = batch_mul(1.0 / jnp.sqrt(1.0 - beta), x + batch_mul(beta, score))
+      noise = jax.random.normal(rng, x.shape)
+      return x_mean + batch_mul(jnp.sqrt(beta), noise), x_mean
+
+    return update_fn
+  raise NotImplementedError(
+      f"SDE class {sde.__class__.__name__} not yet supported.")
+
+
+@register_predictor(name="none")
+def none_predictor(sde, score_fn, probability_flow=False):
+  """Reference sampling.py:242-250."""
+
+  def update_fn(rng, x, t):
+    return x, x
+
+  return update_fn
+
+
+# ---------------------------------------------------------------------------
+# Correctors
+# ---------------------------------------------------------------------------
+
+
+def _corrector_alpha(sde, t):
+  if isinstance(sde, (sde_lib.VPSDE, sde_lib.SubVPSDE)):
+    timestep = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+    return sde.alphas[timestep]
+  return jnp.ones_like(t)
+
+
+@register_corrector(name="langevin")
+def langevin_corrector(sde, score_fn, snr, n_steps):
+  """Step size 2·alpha·(snr·‖noise‖/‖grad‖)² (reference sampling.py:253-282)."""
+  if not isinstance(sde, (sde_lib.VPSDE, sde_lib.VESDE, sde_lib.SubVPSDE)):
+    raise NotImplementedError(
+        f"SDE class {sde.__class__.__name__} not yet supported.")
+
+  def update_fn(rng, x, t):
+    alpha = _corrector_alpha(sde, t)
+
+    def one_step(carry, step_rng):
+      x, _ = carry
+      grad = score_fn(x, t)
+      noise = jax.random.normal(step_rng, x.shape)
+      grad_norm = jnp.mean(
+          jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=-1))
+      noise_norm = jnp.mean(
+          jnp.linalg.norm(noise.reshape(noise.shape[0], -1), axis=-1))
+      step_size = (snr * noise_norm / grad_norm) ** 2 * 2 * alpha
+      x_mean = x + batch_mul(step_size, grad)
+      x = x_mean + batch_mul(jnp.sqrt(step_size * 2), noise)
+      return (x, x_mean), None
+
+    (x, x_mean), _ = jax.lax.scan(one_step, (x, x),
+                                  jax.random.split(rng, n_steps))
+    return x, x_mean
+
+  return update_fn
+
+
+@register_corrector(name="ald")
+def annealed_langevin_dynamics(sde, score_fn, snr, n_steps):
+  """Original NCSN annealed Langevin; step 2·alpha·(snr·std)²
+  (reference sampling.py:285-319)."""
+  if not isinstance(sde, (sde_lib.VPSDE, sde_lib.VESDE, sde_lib.SubVPSDE)):
+    raise NotImplementedError(
+        f"SDE class {sde.__class__.__name__} not yet supported.")
+
+  def update_fn(rng, x, t):
+    alpha = _corrector_alpha(sde, t)
+    std = sde.marginal_prob(x, t)[1]
+    step_size = (snr * std) ** 2 * 2 * alpha
+
+    def one_step(carry, step_rng):
+      x, _ = carry
+      grad = score_fn(x, t)
+      noise = jax.random.normal(step_rng, x.shape)
+      x_mean = x + batch_mul(step_size, grad)
+      x = x_mean + batch_mul(jnp.sqrt(step_size * 2), noise)
+      return (x, x_mean), None
+
+    (x, x_mean), _ = jax.lax.scan(one_step, (x, x),
+                                  jax.random.split(rng, n_steps))
+    return x, x_mean
+
+  return update_fn
+
+
+@register_corrector(name="none")
+def none_corrector(sde, score_fn, snr, n_steps):
+  """Reference sampling.py:322-330."""
+
+  def update_fn(rng, x, t):
+    return x, x
+
+  return update_fn
+
+
+# ---------------------------------------------------------------------------
+# PC sampler — one jitted lax.scan (reference sampling.py:355-411)
+# ---------------------------------------------------------------------------
+
+
+def get_pc_sampler(sde, model_def, shape, predictor, corrector,
+                   inverse_scaler, snr, n_steps: int = 1,
+                   probability_flow: bool = False, continuous: bool = False,
+                   denoise: bool = True, eps: float = 1e-3):
+  """Predictor–corrector sampler.
+
+  Returns ``sampler(rng, params) -> (samples, nfe)``; the full N-step loop
+  is one compiled scan. ``predictor``/``corrector`` are the factory callables
+  from the registries (or None → the respective "none" entry).
+  """
+  predictor = predictor or _PREDICTORS["none"]
+  corrector = corrector or _CORRECTORS["none"]
+
+  @jax.jit
+  def pc_sampler(rng, params):
+    score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
+                                   continuous=continuous)
+    predictor_update = predictor(sde, score_fn, probability_flow)
+    corrector_update = corrector(sde, score_fn, snr, n_steps)
+    rng, prior_rng = jax.random.split(rng)
+    x = sde.prior_sampling(prior_rng, shape)
+    timesteps = jnp.linspace(sde.T, eps, sde.N)
+
+    def step(carry, t_scalar):
+      rng, x, _ = carry
+      rng, c_rng, p_rng = jax.random.split(rng, 3)
+      t = jnp.full((shape[0],), t_scalar)
+      x, x_mean = corrector_update(c_rng, x, t)
+      x, x_mean = predictor_update(p_rng, x, t)
+      return (rng, x, x_mean), None
+
+    (rng, x, x_mean), _ = jax.lax.scan(step, (rng, x, x), timesteps)
+    out = inverse_scaler(x_mean if denoise else x)
+    return out, sde.N * (n_steps + 1)
+
+  return pc_sampler
+
+
+def get_ode_sampler(sde, model_def, shape, inverse_scaler,
+                    denoise: bool = False, rtol: float = 1e-5,
+                    atol: float = 1e-5, eps: float = 1e-3):
+  """Probability-flow ODE sampler with on-device RK45
+  (reference sampling.py:414-485; scipy bridge replaced by
+  `ode_lib.odeint_rk45` under jit — no host round-trips)."""
+
+  @jax.jit
+  def ode_sampler(rng, params, z: Optional[Array] = None):
+    score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
+                                   continuous=True)
+    rsde = sde.reverse(score_fn, probability_flow=True)
+
+    rng, prior_rng = jax.random.split(rng)
+    x0 = sde.prior_sampling(prior_rng, shape) if z is None else z
+
+    def drift_fn(x, t_scalar):
+      t = jnp.full((shape[0],), t_scalar)
+      return rsde.sde(x, t)[0]
+
+    x, nfe = ode_lib.odeint_rk45(drift_fn, x0, sde.T, eps, rtol=rtol,
+                                 atol=atol)
+    if denoise:
+      # One reverse-diffusion step at eps (reference sampling.py:435-441).
+      rng, d_rng = jax.random.split(rng)
+      rd = reverse_diffusion_predictor(sde, score_fn, probability_flow=False)
+      t = jnp.full((shape[0],), eps)
+      _, x = rd(d_rng, x, t)
+      nfe = nfe + 1
+    return inverse_scaler(x), nfe
+
+  return ode_sampler
+
+
+def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
+                    eps: float = 1e-3):
+  """Dispatcher on config.sampling.method (reference sampling.py:80-123).
+
+  Returns ``sampling_fn(rng, params) -> (samples, nfe)``.
+  """
+  sampler_name = config.sampling.method
+  if sampler_name.lower() == "ode":
+    return get_ode_sampler(sde, model_def, shape, inverse_scaler,
+                           denoise=config.sampling.noise_removal, eps=eps)
+  elif sampler_name.lower() == "pc":
+    predictor = get_predictor(config.sampling.predictor.lower())
+    corrector = get_corrector(config.sampling.corrector.lower())
+    return get_pc_sampler(
+        sde, model_def, shape, predictor, corrector, inverse_scaler,
+        snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
+        probability_flow=config.sampling.probability_flow,
+        continuous=config.training.continuous,
+        denoise=config.sampling.noise_removal, eps=eps)
+  raise ValueError(f"Sampler name {sampler_name} unknown.")

@@ -1,0 +1,222 @@
+"""Model zoo tests: shapes, registry, score-fn conventions, EMA.
+
+Uses tiny configs (nf=8..16, 16px) so CPU CI stays fast; architecture code
+paths (resblock types, FIR, progressive modes, embeddings) are identical to
+full-size (SURVEY.md §4(e)).
+"""
+import ml_collections
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_sde_pytorch_tpu import sde as sde_lib
+from score_sde_pytorch_tpu.models import ema as ema_lib
+from score_sde_pytorch_tpu.models import utils as mutils
+import score_sde_pytorch_tpu.models  # noqa: F401 — registers models
+
+
+def tiny_config(name="ncsnpp", image_size=16, **model_overrides):
+  c = ml_collections.ConfigDict()
+  c.training = ml_collections.ConfigDict(
+      {"sde": "vesde", "continuous": True})
+  c.data = ml_collections.ConfigDict(
+      {"image_size": image_size, "num_channels": 3, "centered": False})
+  c.model = ml_collections.ConfigDict({
+      "name": name,
+      "scale_by_sigma": True,
+      "ema_rate": 0.999,
+      "normalization": "GroupNorm",
+      "nonlinearity": "swish",
+      "nf": 8,
+      "ch_mult": (1, 2),
+      "num_res_blocks": 1,
+      "attn_resolutions": (8,),
+      "resamp_with_conv": True,
+      "conditional": True,
+      "fir": False,
+      "fir_kernel": [1, 3, 3, 1],
+      "skip_rescale": True,
+      "resblock_type": "biggan",
+      "progressive": "none",
+      "progressive_input": "none",
+      "progressive_combine": "sum",
+      "attention_type": "ddpm",
+      "init_scale": 0.0,
+      "embedding_type": "fourier",
+      "fourier_scale": 16,
+      "conv_size": 3,
+      "sigma_min": 0.01,
+      "sigma_max": 50.0,
+      "num_scales": 100,
+      "beta_min": 0.1,
+      "beta_max": 20.0,
+      "dropout": 0.1,
+  })
+  for k, v in model_overrides.items():
+    setattr(c.model, k, v)
+  return c
+
+
+def _forward(config, t_val=0.5):
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(config, rng)
+  x = jax.random.normal(jax.random.PRNGKey(1),
+                        (2, config.data.image_size, config.data.image_size,
+                         config.data.num_channels))
+  t = jnp.full((2,), t_val)
+  out = model_def.apply(variables, x, t, train=False)
+  return out, variables
+
+
+def test_ncsnpp_basic_forward():
+  out, _ = _forward(tiny_config())
+  assert out.shape == (2, 16, 16, 3)
+  assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ncsnpp_fir_biggan():
+  out, _ = _forward(tiny_config(fir=True))
+  assert out.shape == (2, 16, 16, 3)
+
+
+def test_ncsnpp_ddpm_resblocks_positional():
+  cfg = tiny_config(resblock_type="ddpm", embedding_type="positional",
+                    scale_by_sigma=False)
+  out, _ = _forward(cfg, t_val=10.0)
+  assert out.shape == (2, 16, 16, 3)
+
+
+@pytest.mark.parametrize("progressive,progressive_input,combine", [
+    ("output_skip", "input_skip", "sum"),
+    ("output_skip", "input_skip", "cat"),
+    ("residual", "residual", "sum"),
+])
+def test_ncsnpp_progressive_paths(progressive, progressive_input, combine):
+  cfg = tiny_config(progressive=progressive,
+                    progressive_input=progressive_input,
+                    progressive_combine=combine, fir=True)
+  out, _ = _forward(cfg)
+  assert out.shape == (2, 16, 16, 3)
+
+
+def test_ddpm_forward():
+  cfg = tiny_config(name="ddpm", embedding_type="positional",
+                    scale_by_sigma=False)
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  labels = jnp.array([0.0, 50.0])
+  out = model_def.apply(variables, x, labels, train=False)
+  assert out.shape == (2, 16, 16, 3)
+
+
+def test_ncsnv2_forward():
+  cfg = tiny_config(name="ncsnv2_64", normalization="InstanceNorm++",
+                    nonlinearity="elu", scale_by_sigma=False)
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  y = jnp.array([0.0, 3.0])
+  out = model_def.apply(variables, x, y, train=False)
+  assert out.shape == (2, 16, 16, 3)
+
+
+def test_ncsn_conditional_forward():
+  cfg = tiny_config(name="ncsn", normalization="InstanceNorm++",
+                    nonlinearity="elu", scale_by_sigma=False)
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  y = jnp.array([0.0, 3.0])
+  out = model_def.apply(variables, x, y, train=False)
+  assert out.shape == (2, 16, 16, 3)
+
+
+def test_registry_rejects_duplicates():
+  with pytest.raises(ValueError):
+    @mutils.register_model(name="ncsnpp")
+    class Foo:  # noqa
+      pass
+
+
+def test_score_fn_ve_continuous_labels_are_sigmas():
+  """VE continuous: model is called with sigma(t); scale_by_sigma divides
+  output by sigma — so score magnitude ~ 1/sigma for large sigma."""
+  cfg = tiny_config()
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  s = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=100)
+  score_fn = mutils.get_score_fn(s, model_def, variables["params"],
+                                 train=False, continuous=True)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  t = jnp.full((2,), 1.0)  # sigma = sigma_max
+  out = score_fn(x, t)
+  assert out.shape == x.shape
+  assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_score_fn_vp_scaling():
+  """VP: score = -model_output / std(t)."""
+  cfg = tiny_config(scale_by_sigma=False)
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  s = sde_lib.VPSDE(N=100)
+  score_fn = mutils.get_score_fn(s, model_def, variables["params"],
+                                 train=False, continuous=True)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  t = jnp.full((2,), 0.5)
+  score = score_fn(x, t)
+  raw = model_def.apply(variables, x, t * 999, train=False)
+  _, std = s.marginal_prob(jnp.zeros_like(x), t)
+  np.testing.assert_allclose(
+      np.asarray(score), np.asarray(-raw / std[0]), rtol=1e-5)
+
+
+def test_model_fn_train_mode_uses_dropout_rng():
+  cfg = tiny_config(dropout=0.5)
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  model_fn = mutils.get_model_fn(model_def, variables["params"], train=True)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  labels = jnp.full((2,), 5.0)
+  o1 = model_fn(x, labels, rng=jax.random.PRNGKey(10))
+  o2 = model_fn(x, labels, rng=jax.random.PRNGKey(11))
+  assert not np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_ema_warmup_and_convergence():
+  params = {"w": jnp.zeros((3,))}
+  state = ema_lib.init(params, decay=0.999)
+  new = {"w": jnp.ones((3,))}
+  # First update: decay = min(0.999, 2/11) → shadow moves a lot.
+  state = ema_lib.update(state, new)
+  first = float(state.params["w"][0])
+  assert 0.5 < first < 1.0
+  for _ in range(200):
+    state = ema_lib.update(state, new)
+  np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0, atol=1e-2)
+
+
+def test_get_sigmas_descending():
+  cfg = tiny_config()
+  sig = mutils.get_sigmas(cfg)
+  assert sig[0] == pytest.approx(50.0)
+  assert sig[-1] == pytest.approx(0.01)
+  assert np.all(np.diff(sig) < 0)
+
+
+def test_fourier_projection_param_not_trained():
+  """W of GaussianFourierProjection must receive zero gradient."""
+  cfg = tiny_config()
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  t = jnp.full((2,), 0.5)
+
+  def loss(params):
+    return jnp.sum(model_def.apply({"params": params}, x, t, train=False) ** 2)
+
+  g = jax.grad(loss)(variables["params"])
+  w_grad = g["FourierProj"]["W"]
+  np.testing.assert_allclose(np.asarray(w_grad), 0.0)

@@ -1,0 +1,78 @@
+"""On-device RK45 tests vs closed forms and scipy."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.integrate
+
+from score_sde_pytorch_tpu import ode as ode_lib
+
+
+def test_exponential_decay():
+  f = lambda y, t: -y
+  y0 = jnp.ones((4, 3))
+  y1, nfe = ode_lib.odeint_rk45(f, y0, 0.0, 2.0, rtol=1e-6, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(y1), np.exp(-2.0), rtol=1e-4)
+  assert int(nfe) > 6
+
+
+def test_backward_integration():
+  """Integrate dy/dt = y backwards from t=1 to t=0: y(0) = y(1)/e."""
+  f = lambda y, t: y
+  y0 = jnp.full((2, 2), 2.7182818)
+  y1, _ = ode_lib.odeint_rk45(f, y0, 1.0, 0.0, rtol=1e-6, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(y1), 1.0, rtol=1e-4)
+
+
+def test_time_dependent_rhs_matches_scipy():
+  def f(y, t):
+    return jnp.sin(t) * y
+
+  y0 = jnp.array([[1.0, 2.0]])
+  got, nfe = ode_lib.odeint_rk45(f, y0, 0.0, 3.0, rtol=1e-5, atol=1e-5)
+
+  sol = scipy.integrate.solve_ivp(
+      lambda t, y: np.sin(t) * y, (0.0, 3.0), np.array([1.0, 2.0]),
+      rtol=1e-5, atol=1e-5, method="RK45")
+  np.testing.assert_allclose(np.asarray(got)[0], sol.y[:, -1], rtol=1e-4)
+  # NFE in the same ballpark as scipy (not orders off).
+  assert int(nfe) < 10 * sol.nfev
+
+
+def test_pytree_state():
+  """Augmented (x, logp)-style tuple state integrates jointly."""
+  def f(y, t):
+    x, z = y
+    return (-x, jnp.sum(x, keepdims=True))
+
+  x0 = jnp.ones((3,))
+  z0 = jnp.zeros((1,))
+  (x1, z1), _ = ode_lib.odeint_rk45(f, (x0, z0), 0.0, 1.0,
+                                    rtol=1e-6, atol=1e-8)
+  np.testing.assert_allclose(np.asarray(x1), np.exp(-1.0), rtol=1e-4)
+  # ∫ 3 e^{-t} dt from 0..1 = 3(1 - 1/e)
+  np.testing.assert_allclose(np.asarray(z1), 3 * (1 - np.exp(-1.0)),
+                             rtol=1e-4)
+
+
+def test_stiff_ish_tolerance_scaling():
+  """Tighter tolerance → more NFE and closer answer."""
+  f = lambda y, t: -50.0 * (y - jnp.cos(t))
+  y0 = jnp.zeros((1,))
+  y_loose, nfe_loose = ode_lib.odeint_rk45(f, y0, 0.0, 1.0, rtol=1e-3,
+                                           atol=1e-3)
+  y_tight, nfe_tight = ode_lib.odeint_rk45(f, y0, 0.0, 1.0, rtol=1e-8,
+                                           atol=1e-8)
+  assert int(nfe_tight) > int(nfe_loose)
+  sol = scipy.integrate.solve_ivp(
+      lambda t, y: -50.0 * (y - np.cos(t)), (0.0, 1.0), np.zeros(1),
+      rtol=1e-10, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(y_tight), sol.y[:, -1], rtol=1e-5)
+
+
+def test_jittable():
+  @jax.jit
+  def run(y0):
+    return ode_lib.odeint_rk45(lambda y, t: -y, y0, 0.0, 1.0)[0]
+
+  y = run(jnp.ones((2,)))
+  np.testing.assert_allclose(np.asarray(y), np.exp(-1.0), rtol=1e-3)

@@ -1,0 +1,162 @@
+"""Sampler tests: statistical correctness on a tractable Gaussian model.
+
+For data ~ N(0, I) under any of our SDEs, the exact score is analytic:
+  VE:    score(x,t) = -x / (1 + sigma(t)^2)
+  VP:    score(x,t) = -x / (m(t)^2 + std(t)^2)  (≈ -x since variance preserved)
+so we can run every predictor/corrector against the *exact* score and check
+the sampled distribution converges to N(0, I) — a much stronger test than
+shape checks (SURVEY.md §4(c) golden-numerics strategy without torch).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_sde_pytorch_tpu import sampling, sde as sde_lib
+from score_sde_pytorch_tpu.sde import batch_mul
+
+
+class AnalyticModel:
+  """Stands in for (model_def, params): exact score for x0 ~ N(0, I)."""
+
+  def __init__(self, sde):
+    self.sde = sde
+
+  def score(self, x, t):
+    ones = jnp.ones_like(x)
+    m = self.sde.marginal_prob(ones, t)[0]  # mean coefficient
+    std = self.sde.marginal_prob(jnp.zeros_like(x), t)[1]
+    var = m ** 2 + batch_mul(std ** 2, ones)
+    return -x / var
+
+
+def _pc_sample(sde, predictor_name, corrector_name, n=256, steps=None,
+               snr=0.16, denoise=True):
+  model = AnalyticModel(sde)
+  score_fn = model.score
+  shape = (n, 4, 4, 1)
+  predictor = sampling.get_predictor(predictor_name)
+  corrector = sampling.get_corrector(corrector_name)
+
+  pred_update = predictor(sde, score_fn, False)
+  corr_update = corrector(sde, score_fn, snr, 1)
+
+  @jax.jit
+  def run(rng):
+    rng, prior_rng = jax.random.split(rng)
+    x = sde.prior_sampling(prior_rng, shape)
+    timesteps = jnp.linspace(sde.T, 1e-3, sde.N)
+
+    def step(carry, t_scalar):
+      rng, x, _ = carry
+      rng, c_rng, p_rng = jax.random.split(rng, 3)
+      t = jnp.full((n,), t_scalar)
+      x, x_mean = corr_update(c_rng, x, t)
+      x, x_mean = pred_update(p_rng, x, t)
+      return (rng, x, x_mean), None
+
+    (rng, x, x_mean), _ = jax.lax.scan(step, (rng, x, x), timesteps)
+    return x_mean if denoise else x
+
+  return np.asarray(run(jax.random.PRNGKey(0)))
+
+
+VE = sde_lib.VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+VP = sde_lib.VPSDE(N=200)
+
+
+@pytest.mark.parametrize("predictor", ["euler_maruyama", "reverse_diffusion",
+                                       "ancestral_sampling"])
+def test_ve_predictors_recover_unit_gaussian(predictor):
+  samples = _pc_sample(VE, predictor, "none")
+  assert abs(samples.mean()) < 0.15
+  assert abs(samples.std() - 1.0) < 0.15
+
+
+@pytest.mark.parametrize("predictor", ["euler_maruyama", "reverse_diffusion",
+                                       "ancestral_sampling"])
+def test_vp_predictors_recover_unit_gaussian(predictor):
+  samples = _pc_sample(VP, predictor, "none")
+  assert abs(samples.mean()) < 0.15
+  assert abs(samples.std() - 1.0) < 0.15
+
+
+@pytest.mark.parametrize("corrector", ["langevin", "ald"])
+def test_correctors_with_reverse_diffusion(corrector):
+  samples = _pc_sample(VE, "reverse_diffusion", corrector)
+  assert abs(samples.mean()) < 0.15
+  assert abs(samples.std() - 1.0) < 0.2
+
+
+def test_corrector_only_sampler():
+  samples = _pc_sample(VE, "none", "langevin")
+  assert np.isfinite(samples).all()
+
+
+def test_probability_flow_euler_maruyama_deterministic():
+  """With probability_flow=True the EM predictor must add no noise."""
+  model = AnalyticModel(VP)
+  pred = sampling.get_predictor("euler_maruyama")(VP, model.score, True)
+  x = jnp.ones((4, 4, 4, 1))
+  t = jnp.full((4,), 0.5)
+  x1, _ = pred(jax.random.PRNGKey(0), x, t)
+  x2, _ = pred(jax.random.PRNGKey(1), x, t)
+  np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))
+
+
+def test_registries():
+  assert set(sampling._PREDICTORS) >= {
+      "euler_maruyama", "reverse_diffusion", "ancestral_sampling", "none"}
+  assert set(sampling._CORRECTORS) >= {"langevin", "ald", "none"}
+  with pytest.raises(ValueError):
+    @sampling.register_predictor(name="euler_maruyama")
+    def dup(*a):  # noqa
+      pass
+
+
+def test_ode_sampler_gaussian():
+  """Probability-flow ODE with the exact score recovers N(0,I) samples."""
+  from score_sde_pytorch_tpu import ode as ode_lib
+  sde = VP
+  model = AnalyticModel(sde)
+  shape = (512, 2, 2, 1)
+
+  @jax.jit
+  def run(rng):
+    x0 = sde.prior_sampling(rng, shape)
+    rsde = sde.reverse(model.score, probability_flow=True)
+
+    def drift(x, t_scalar):
+      t = jnp.full((shape[0],), t_scalar)
+      return rsde.sde(x, t)[0]
+
+    x, nfe = ode_lib.odeint_rk45(drift, x0, sde.T, 1e-3, rtol=1e-5,
+                                 atol=1e-5)
+    return x, nfe
+
+  x, nfe = run(jax.random.PRNGKey(0))
+  x = np.asarray(x)
+  assert abs(x.mean()) < 0.1
+  assert abs(x.std() - 1.0) < 0.1
+  assert int(nfe) > 10
+
+
+def test_get_sampling_fn_dispatch_pc():
+  import ml_collections
+  from tests.test_models import tiny_config
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+
+  cfg = tiny_config()
+  cfg.sampling = ml_collections.ConfigDict({
+      "method": "pc", "predictor": "reverse_diffusion",
+      "corrector": "langevin", "snr": 0.16, "n_steps_each": 1,
+      "probability_flow": False, "noise_removal": True})
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=8)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  fn = sampling.get_sampling_fn(cfg, sde, model_def, (2, 16, 16, 3),
+                                lambda x: x)
+  samples, nfe = fn(jax.random.PRNGKey(1), variables["params"])
+  assert samples.shape == (2, 16, 16, 3)
+  assert int(nfe) == 8 * 2
+  assert np.isfinite(np.asarray(samples)).all()
