@@ -52,7 +52,7 @@ def get_default_configs():
   # model
   config.model = model = ml_collections.ConfigDict()
   model.sigma_min = 0.01
-  model.sigma_max = 50
+  model.sigma_max = 50.0
   model.num_scales = 1000
   model.beta_min = 0.1
   model.beta_max = 20.

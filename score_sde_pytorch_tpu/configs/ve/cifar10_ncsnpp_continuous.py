@@ -1,40 +1,9 @@
-"""NCSN++ on CIFAR-10 with VE SDE, continuous
-(reference configs/ve/cifar10_ncsnpp_continuous.py)."""
-from score_sde_pytorch_tpu.configs.default_cifar10_configs import get_default_configs
+"""Hyperparameters of reference configs/ve/cifar10_ncsnpp_continuous.py (declarative form)."""
+from score_sde_pytorch_tpu.configs.builder import declare
 
-
-def get_config():
-  config = get_default_configs()
-  training = config.training
-  training.sde = 'vesde'
-  training.continuous = True
-
-  sampling = config.sampling
-  sampling.method = 'pc'
-  sampling.predictor = 'reverse_diffusion'
-  sampling.corrector = 'langevin'
-
-  model = config.model
-  model.name = 'ncsnpp'
-  model.scale_by_sigma = True
-  model.ema_rate = 0.999
-  model.normalization = 'GroupNorm'
-  model.nonlinearity = 'swish'
-  model.nf = 128
-  model.ch_mult = (1, 2, 2, 2)
-  model.num_res_blocks = 4
-  model.attn_resolutions = (16,)
-  model.resamp_with_conv = True
-  model.conditional = True
-  model.fir = True
-  model.fir_kernel = [1, 3, 3, 1]
-  model.skip_rescale = True
-  model.resblock_type = 'biggan'
-  model.progressive = 'none'
-  model.progressive_input = 'residual'
-  model.progressive_combine = 'sum'
-  model.attention_type = 'ddpm'
-  model.init_scale = 0.
-  model.fourier_scale = 16
-  model.conv_size = 3
-  return config
+get_config = declare(
+    'cifar10',
+    training=dict(sde='vesde', continuous=True),
+    sampling=dict(method='pc', predictor='reverse_diffusion', corrector='langevin'),
+    model=dict(name='ncsnpp', normalization='GroupNorm', nonlinearity='swish', nf=128, attn_resolutions=(16,), resamp_with_conv=True, conditional=True, fir_kernel=[1, 3, 3, 1], skip_rescale=True, resblock_type='biggan', progressive_combine='sum', attention_type='ddpm', conv_size=3, scale_by_sigma=True, ema_rate=0.999, ch_mult=(1, 2, 2, 2), num_res_blocks=4, fir=True, progressive='none', progressive_input='residual', init_scale=0., fourier_scale=16),
+)

@@ -1,0 +1,54 @@
+"""CLI entry point.
+
+Rebuild of /root/reference/main.py: same absl flags surface
+(--config --workdir --mode --eval_folder), dual console+file logging to
+workdir/stdout.txt, dispatch to run_lib.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+from absl import app, flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+
+config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=True)
+flags.DEFINE_string("workdir", None, "Work directory.")
+flags.DEFINE_enum("mode", None, ["train", "eval"],
+                  "Running mode: train or eval")
+flags.DEFINE_string("eval_folder", "eval",
+                    "The folder name for storing evaluation results")
+flags.mark_flags_as_required(["workdir", "config", "mode"])
+
+
+def main(argv):
+  from score_sde_pytorch_tpu import run_lib
+
+  os.makedirs(FLAGS.workdir, exist_ok=True)
+  # Dual console + file logging (reference main.py:40-49).
+  handler = logging.StreamHandler(sys.stdout)
+  file_handler = logging.FileHandler(
+      os.path.join(FLAGS.workdir, "stdout.txt"))
+  formatter = logging.Formatter(
+      "%(levelname)s - %(filename)s - %(asctime)s - %(message)s")
+  for h in (handler, file_handler):
+    h.setFormatter(formatter)
+  logger = logging.getLogger()
+  logger.addHandler(handler)
+  logger.addHandler(file_handler)
+  logger.setLevel("INFO")
+
+  if FLAGS.mode == "train":
+    run_lib.train(FLAGS.config, FLAGS.workdir)
+  elif FLAGS.mode == "eval":
+    run_lib.evaluate(FLAGS.config, FLAGS.workdir, FLAGS.eval_folder)
+  else:
+    raise ValueError(f"Mode {FLAGS.mode} not recognized.")
+
+
+if __name__ == "__main__":
+  app.run(main)

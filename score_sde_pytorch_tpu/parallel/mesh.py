@@ -1,0 +1,86 @@
+"""Device mesh + sharding: the TPU-native replacement for DataParallel.
+
+The reference's entire distributed backend is a single-process
+`torch.nn.DataParallel` wrap (/root/reference/models/utils.py:93 —
+replicate/scatter/gather every step). Here parallelism is declarative:
+one `jax.sharding.Mesh` with a ``data`` axis (and an optional ``space``
+axis for ≥256px spatial sharding, SURVEY.md §2.7), `NamedSharding`
+annotations on the batch, replicated parameters, and XLA's SPMD partitioner
+inserting the gradient `psum` over ICI. Multi-host extends the same mesh
+over all processes (`jax.distributed.initialize` at the pipeline layer).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def create_mesh(n_data: int = -1, n_space: int = 1,
+                devices=None) -> Mesh:
+  """Build a (data, space) mesh. ``n_data=-1`` → all remaining devices.
+
+  With ``n_space=1`` this is pure data parallelism; ``n_space>1`` shards the
+  image height axis for large-resolution models.
+  """
+  devices = devices if devices is not None else jax.devices()
+  n_total = len(devices)
+  if n_data == -1:
+    n_data = n_total // n_space
+  assert n_data * n_space == n_total, (
+      f"mesh {n_data}x{n_space} != {n_total} devices")
+  dev_array = np.asarray(devices).reshape(n_data, n_space)
+  return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+  """Batch axis sharded over data; everything else replicated."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+  """NHWC activations: batch over data, H over space (≥256px models)."""
+  return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+  """Place a host numpy batch onto the mesh, sharded along the batch dim."""
+  return jax.device_put(batch, data_sharding(mesh))
+
+
+def make_sharded_step(step_fn: Callable, mesh: Mesh,
+                      donate_state: bool = True) -> Callable:
+  """jit a ``(state, batch) -> (state, loss)`` step for the mesh.
+
+  Params/opt state replicated, batch data-sharded; XLA SPMD inserts the
+  gradient all-reduce. State buffers are donated (in-place update on device).
+  """
+  state_sharding = replicated(mesh)
+  batch_sharding = data_sharding(mesh)
+  return jax.jit(
+      step_fn,
+      in_shardings=(state_sharding, batch_sharding),
+      out_shardings=(state_sharding, state_sharding),
+      donate_argnums=(0,) if donate_state else ())
+
+
+def make_sharded_n_step(n_step_fn: Callable, mesh: Mesh,
+                        donate_state: bool = True) -> Callable:
+  """Like :func:`make_sharded_step` for stacked ``[n_steps, B, ...]`` batches
+  (batch dim 1 sharded)."""
+  state_sharding = replicated(mesh)
+  batches_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+  return jax.jit(
+      n_step_fn,
+      in_shardings=(state_sharding, batches_sharding),
+      out_shardings=(state_sharding, state_sharding),
+      donate_argnums=(0,) if donate_state else ())

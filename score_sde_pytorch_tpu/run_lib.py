@@ -1,0 +1,247 @@
+"""Training and evaluation pipelines.
+
+Rebuild of /root/reference/run_lib.py (train :47-172, evaluate :175-408),
+TPU-native: one device mesh, jitted n-step scan with donated state, async
+host logging, Orbax two-tier checkpoints, sampling inside jit.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_sde_pytorch_tpu import checkpoint as ckpt_lib
+from score_sde_pytorch_tpu import datasets, losses, parallel, sampling
+from score_sde_pytorch_tpu import likelihood as likelihood_lib
+from score_sde_pytorch_tpu import sde as sde_lib
+from score_sde_pytorch_tpu.models import utils as mutils  # noqa: F401
+from score_sde_pytorch_tpu.parallel.mesh import make_sharded_n_step
+from score_sde_pytorch_tpu.utils.image import make_grid, save_image
+
+try:
+  from tensorboardX import SummaryWriter
+except ImportError:  # pragma: no cover
+  SummaryWriter = None
+
+
+def _writer(workdir: str):
+  if SummaryWriter is None:
+    class _Null:
+      def add_scalar(self, *a, **k): pass
+      def flush(self): pass
+    return _Null()
+  return SummaryWriter(os.path.join(workdir, "tensorboard"))
+
+
+def train(config, workdir: str) -> None:
+  """Train loop (reference run_lib.py:47-172)."""
+  os.makedirs(workdir, exist_ok=True)
+  writer = _writer(workdir)
+  sample_dir = os.path.join(workdir, "samples")
+  os.makedirs(sample_dir, exist_ok=True)
+
+  rng = jax.random.PRNGKey(config.seed)
+  rng, init_rng = jax.random.split(rng)
+
+  # Model + state
+  model_def, state = losses.init_train_state(config, init_rng)
+  optimizer = losses.get_optimizer(config)
+
+  # Checkpointing: resume from rolling meta if present (run_lib.py:72-77)
+  ckpt_mgr = ckpt_lib.CheckpointManager(workdir)
+  state = ckpt_mgr.restore_meta(state)
+  initial_step = int(state.step)
+
+  # Data
+  train_iter, eval_iter = datasets.get_dataset(config)
+  scaler = datasets.get_data_scaler(config)
+  inverse_scaler = datasets.get_data_inverse_scaler(config)
+
+  # SDE
+  sde = sde_lib.build_sde(config)
+
+  # Mesh + step fns
+  mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
+  n_jitted = config.training.get("n_jitted_steps", 1)
+  continuous = config.training.continuous
+  reduce_mean = config.training.reduce_mean
+  likelihood_weighting = config.training.likelihood_weighting
+  train_step = make_sharded_n_step(
+      losses.get_n_step_fn(sde, model_def, train=True, optimizer=optimizer,
+                           n_steps=n_jitted, reduce_mean=reduce_mean,
+                           continuous=continuous,
+                           likelihood_weighting=likelihood_weighting),
+      mesh)
+  eval_step = make_sharded_n_step(
+      losses.get_n_step_fn(sde, model_def, train=False, n_steps=n_jitted,
+                           reduce_mean=reduce_mean, continuous=continuous,
+                           likelihood_weighting=likelihood_weighting),
+      mesh, donate_state=False)
+
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  batches_sharding = NamedSharding(mesh, P(None, "data"))
+
+  def next_batches(it):
+    arr = np.stack([scaler(next(it)) for _ in range(n_jitted)])
+    return jax.device_put(arr, batches_sharding)
+
+  # Sampling setup (run_lib.py:104-110)
+  if config.training.snapshot_sampling:
+    sampling_shape = (config.training.batch_size // jax.process_count(),
+                      config.data.image_size, config.data.image_size,
+                      config.data.num_channels)
+    sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
+                                           sampling_shape, inverse_scaler)
+
+  num_train_steps = config.training.n_iters
+  logging.info("Starting training loop at step %d.", initial_step)
+
+  step = initial_step
+  t_last = time.time()
+  while step < num_train_steps:
+    state, loss = train_step(state, next_batches(train_iter))
+    step = int(state.step)
+    loss_val = float(jnp.mean(loss))
+
+    if step % config.training.log_freq < n_jitted:
+      dt = time.time() - t_last
+      t_last = time.time()
+      logging.info("step: %d, training_loss: %.5e (%.3f s/step)", step,
+                   loss_val, dt / max(config.training.log_freq, 1))
+      writer.add_scalar("training_loss", loss_val, step)
+
+    # Rolling preemption checkpoint (run_lib.py:136-138)
+    if (step != 0
+        and step % config.training.snapshot_freq_for_preemption < n_jitted):
+      ckpt_mgr.save_meta(state)
+
+    # Periodic eval (run_lib.py:141-147)
+    if step % config.training.eval_freq < n_jitted:
+      _, eval_loss = eval_step(state, next_batches(eval_iter))
+      eval_loss_val = float(jnp.mean(eval_loss))
+      logging.info("step: %d, eval_loss: %.5e", step, eval_loss_val)
+      writer.add_scalar("eval_loss", eval_loss_val, step)
+
+    # Numbered snapshot + sample grid (run_lib.py:150-172)
+    if step % config.training.snapshot_freq < n_jitted or step >= num_train_steps:
+      save_step = step // config.training.snapshot_freq
+      ckpt_mgr.save_numbered(state, save_step)
+
+      if config.training.snapshot_sampling:
+        rng, sample_rng = jax.random.split(rng)
+        samples, _ = sampling_fn(sample_rng, state.ema.params)
+        this_dir = os.path.join(sample_dir, f"iter_{step}")
+        os.makedirs(this_dir, exist_ok=True)
+        samples_np = np.asarray(samples)
+        np.save(os.path.join(this_dir, "sample.np"), samples_np)
+        nrow = int(np.sqrt(samples_np.shape[0]))
+        save_image(make_grid(samples_np, nrow, padding=2),
+                   os.path.join(this_dir, "sample.png"))
+  writer.flush()
+
+
+def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
+  """Evaluation pipeline (reference run_lib.py:175-408): per-checkpoint loss,
+  bits/dim, and sampling + FID/IS/KID stages, each independently enabled."""
+  from score_sde_pytorch_tpu import evaluation
+
+  eval_dir = os.path.join(workdir, eval_folder)
+  os.makedirs(eval_dir, exist_ok=True)
+
+  rng = jax.random.PRNGKey(config.seed + 1)
+  rng, init_rng = jax.random.split(rng)
+  model_def, state = losses.init_train_state(config, init_rng)
+
+  sde = sde_lib.build_sde(config)
+  scaler = datasets.get_data_scaler(config)
+  inverse_scaler = datasets.get_data_inverse_scaler(config)
+  _, eval_iter = datasets.get_dataset(config, evaluation=True)
+
+  continuous = config.training.continuous
+  eval_step = jax.jit(losses.get_step_fn(
+      sde, model_def, train=False, reduce_mean=config.training.reduce_mean,
+      continuous=continuous,
+      likelihood_weighting=config.training.likelihood_weighting))
+
+  if config.eval.enable_bpd:
+    likelihood_fn = likelihood_lib.get_likelihood_fn(sde, model_def,
+                                                     inverse_scaler)
+    _, bpd_iter = datasets.get_dataset(config, evaluation=True,
+                                       uniform_dequantization=True)
+
+  if config.eval.enable_sampling:
+    sampling_shape = (config.eval.batch_size, config.data.image_size,
+                      config.data.image_size, config.data.num_channels)
+    sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
+                                           sampling_shape, inverse_scaler)
+
+  ckpt_mgr = ckpt_lib.CheckpointManager(workdir)
+  begin_ckpt = config.eval.begin_ckpt
+  for ckpt in range(begin_ckpt, config.eval.end_ckpt + 1):
+    # Wait for the checkpoint to appear (reference run_lib.py:263-283).
+    waiting = 0
+    while not ckpt_mgr.has_numbered(ckpt):
+      if waiting == 0:
+        logging.warning("Waiting for checkpoint_%d ...", ckpt)
+      time.sleep(60)
+      waiting += 1
+      if waiting > 60 * 10:
+        raise FileNotFoundError(f"checkpoint_{ckpt} never appeared")
+    state = ckpt_mgr.restore_numbered(state, ckpt)
+    ema_params = state.ema.params
+
+    if config.eval.enable_loss:
+      all_losses = []
+      n_batches = max(1, 10000 // config.eval.batch_size)
+      for _ in range(n_batches):
+        batch = jnp.asarray(scaler(next(eval_iter)))
+        state, loss = eval_step(state, batch)
+        all_losses.append(float(loss))
+      np.savez_compressed(
+          os.path.join(eval_dir, f"ckpt_{ckpt}_loss.npz"),
+          all_losses=np.asarray(all_losses),
+          mean_loss=np.mean(all_losses))
+      logging.info("ckpt %d: mean eval loss %.5e", ckpt,
+                   float(np.mean(all_losses)))
+
+    if config.eval.enable_bpd:
+      bpds = []
+      n_batches = max(1, 2048 // config.eval.batch_size)
+      for repeat in range(len(range(n_batches))):
+        batch = jnp.asarray(scaler(next(bpd_iter)))
+        rng, bpd_rng = jax.random.split(rng)
+        bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
+        bpds.extend(np.asarray(bpd).tolist())
+      np.savez_compressed(
+          os.path.join(eval_dir, f"{config.eval.bpd_dataset}_ckpt_{ckpt}_bpd.npz"),
+          bpd=np.asarray(bpds))
+      logging.info("ckpt %d: mean bpd %.4f", ckpt, float(np.mean(bpds)))
+
+    if config.eval.enable_sampling:
+      num_rounds = (config.eval.num_samples - 1) // config.eval.batch_size + 1
+      all_pools = []
+      for r in range(num_rounds):
+        rng, sample_rng = jax.random.split(rng)
+        samples, _ = sampling_fn(sample_rng, ema_params)
+        samples_u8 = np.clip(np.asarray(samples) * 255.0, 0,
+                             255).astype(np.uint8)
+        np.savez_compressed(
+            os.path.join(eval_dir, f"ckpt_{ckpt}_samples_{r}.npz"),
+            samples=samples_u8)
+        stats = evaluation.run_inception(samples_u8)
+        if stats is not None:
+          np.savez_compressed(
+              os.path.join(eval_dir, f"ckpt_{ckpt}_statistics_{r}.npz"),
+              **stats)
+          all_pools.append(stats["pool_3"])
+      if all_pools:
+        scores = evaluation.compute_scores(
+            np.concatenate(all_pools), config)
+        np.savez_compressed(
+            os.path.join(eval_dir, f"report_{ckpt}.npz"), **scores)
+        logging.info("ckpt %d: %s", ckpt, scores)

@@ -1,0 +1,75 @@
+"""Controllable generation tests (inpainting/colorization projections)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from score_sde_pytorch_tpu import controllable_generation as cg
+from score_sde_pytorch_tpu import sampling, sde as sde_lib
+from score_sde_pytorch_tpu.sde import batch_mul
+
+
+def test_couple_decouple_inverse():
+  x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+  np.testing.assert_allclose(np.asarray(cg.couple(cg.decouple(x))),
+                             np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_decouple_gray_channel_isolated():
+  """A gray image (R=G=B) maps entirely onto channel 0 of the basis."""
+  g = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1))
+  gray = jnp.tile(g, (1, 1, 1, 3))
+  d = cg.decouple(gray)
+  np.testing.assert_allclose(np.asarray(d[..., 1:]), 0.0, atol=1e-5)
+  assert float(jnp.abs(d[..., 0]).mean()) > 0
+
+
+def test_mask_shape():
+  m = cg.get_mask(jnp.zeros((2, 4, 4, 3)))
+  np.testing.assert_array_equal(np.asarray(m[..., 0]), 1.0)
+  np.testing.assert_array_equal(np.asarray(m[..., 1:]), 0.0)
+
+
+class _TinyScoreSetup:
+  def __init__(self):
+    from score_sde_pytorch_tpu.models import utils as mutils
+    import score_sde_pytorch_tpu.models  # noqa: F401
+    from tests.test_models import tiny_config
+    self.cfg = tiny_config()
+    self.sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=10.0, N=10)
+    self.model_def, variables = mutils.create_model(
+        self.cfg, jax.random.PRNGKey(0))
+    self.params = variables["params"]
+
+
+def test_inpainter_preserves_known_region():
+  s = _TinyScoreSetup()
+  inpainter = cg.get_pc_inpainter(
+      s.sde, s.model_def, sampling.get_predictor("reverse_diffusion"),
+      sampling.get_corrector("none"), lambda x: x, snr=0.16,
+      continuous=True, denoise=True)
+  data = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  mask = jnp.zeros_like(data).at[:, :8].set(1.0)
+  out = inpainter(jax.random.PRNGKey(2), s.params, data, mask)
+  out = np.asarray(out)
+  # Known region equals the data exactly at the final (mean) projection.
+  np.testing.assert_allclose(out[:, :8], np.asarray(data)[:, :8], atol=1e-3)
+  # Unknown region is filled with something else.
+  assert not np.allclose(out[:, 8:], np.asarray(data)[:, 8:], atol=1e-2)
+  assert np.isfinite(out).all()
+
+
+def test_colorizer_preserves_gray_projection():
+  s = _TinyScoreSetup()
+  colorizer = cg.get_pc_colorizer(
+      s.sde, s.model_def, sampling.get_predictor("reverse_diffusion"),
+      sampling.get_corrector("none"), lambda x: x, snr=0.16,
+      continuous=True, denoise=True)
+  g = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 1))
+  gray = jnp.tile(g, (1, 1, 1, 3))
+  out = colorizer(jax.random.PRNGKey(2), s.params, gray)
+  out_np = np.asarray(out)
+  assert np.isfinite(out_np).all()
+  # Gray channel of the decoupled output equals the input's gray channel.
+  d_out = np.asarray(cg.decouple(jnp.asarray(out)))
+  d_in = np.asarray(cg.decouple(gray))
+  np.testing.assert_allclose(d_out[..., 0], d_in[..., 0], atol=1e-3)

@@ -1,0 +1,79 @@
+"""FID/IS/KID math tests against scipy/analytic oracles."""
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from score_sde_pytorch_tpu import evaluation
+
+
+RNG = np.random.default_rng(0)
+
+
+def _random_psd(d, seed=0):
+  rng = np.random.default_rng(seed)
+  a = rng.normal(size=(d, d))
+  return a @ a.T / d + np.eye(d) * 0.1
+
+
+def test_sqrtm_matches_scipy():
+  a = _random_psd(32)
+  got = np.asarray(evaluation.sqrtm_newton_schulz(jnp.asarray(a, jnp.float32)))
+  want = scipy.linalg.sqrtm(a).real
+  np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+
+
+def test_frechet_distance_identical_is_zero():
+  mu = jnp.asarray(RNG.normal(size=(16,)), jnp.float32)
+  sigma = jnp.asarray(_random_psd(16), jnp.float32)
+  d = float(evaluation.frechet_distance(mu, sigma, mu, sigma))
+  assert abs(d) < 1e-2
+
+
+def test_frechet_distance_matches_scipy_formula():
+  mu1 = RNG.normal(size=(8,))
+  mu2 = RNG.normal(size=(8,))
+  s1 = _random_psd(8, 1)
+  s2 = _random_psd(8, 2)
+  want = (np.sum((mu1 - mu2) ** 2) + np.trace(s1) + np.trace(s2)
+          - 2 * np.trace(scipy.linalg.sqrtm(s1 @ s2).real))
+  got = float(evaluation.frechet_distance(
+      jnp.asarray(mu1, jnp.float32), jnp.asarray(s1, jnp.float32),
+      jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32)))
+  np.testing.assert_allclose(got, want, rtol=2e-2)
+
+
+def test_fid_from_activations_separated_gaussians():
+  a1 = RNG.normal(size=(2000, 16))
+  a2 = RNG.normal(size=(2000, 16)) + 2.0
+  fid_far = evaluation.fid_from_activations(a1, a2)
+  a3 = RNG.normal(size=(2000, 16))
+  fid_near = evaluation.fid_from_activations(a1, a3)
+  # FID ≈ ||Δmu||² = 16*4 = 64 for the far pair, ≈ 0 for the near pair.
+  assert fid_far > 50
+  assert fid_near < 1.0
+
+
+def test_inception_score_bounds():
+  # Uniform logits → IS = 1 (no information).
+  logits = np.zeros((100, 10))
+  assert evaluation.inception_score_from_logits(logits) == 1.0
+  # One-hot confident logits, uniform marginal → IS = num_classes.
+  logits = np.eye(10)[RNG.integers(0, 10, 1000)] * 50.0
+  is_val = evaluation.inception_score_from_logits(logits)
+  np.testing.assert_allclose(is_val, 10.0, rtol=0.05)
+
+
+def test_kid_zero_for_same_distribution():
+  a1 = RNG.normal(size=(1000, 8))
+  a2 = RNG.normal(size=(1000, 8))
+  kid_same = evaluation.kid_from_activations(a1, a2, block_size=500)
+  a3 = RNG.normal(size=(1000, 8)) + 1.0
+  kid_diff = evaluation.kid_from_activations(a1, a3, block_size=500)
+  assert abs(kid_same) < 0.05
+  assert kid_diff > 10 * max(abs(kid_same), 1e-6)
+
+
+def test_run_inception_gated_without_weights(monkeypatch):
+  monkeypatch.delenv("INCEPTION_WEIGHTS_NPZ", raising=False)
+  out = evaluation.run_inception(np.zeros((2, 32, 32, 3), np.uint8))
+  assert out is None

@@ -1,0 +1,61 @@
+"""Inception-V3 feature extractor architecture tests (weight-free)."""
+import jax.numpy as jnp
+import numpy as np
+
+from score_sde_pytorch_tpu import inception
+
+
+def test_forward_shapes_random_weights():
+  p = inception.random_params(0)
+  x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 299, 299, 3)),
+                  jnp.float32)
+  pool, logits = inception._forward(p, x)
+  assert pool.shape == (2, 2048)
+  assert logits.shape == (2, 1008)
+  assert np.isfinite(np.asarray(pool)).all()
+
+
+def test_weight_spec_consistency():
+  spec = inception.weight_spec()
+  names = [s[0] for s in spec]
+  assert len(names) == len(set(names))
+  assert len(spec) == 94  # 5 stem + 89 block convs
+
+
+def test_avg_pool_no_include_pad():
+  """Border cells divide by the true window size (4 at corners)."""
+  x = jnp.ones((1, 4, 4, 1))
+  out = inception._avg_pool_3x3_noinc(x)
+  np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+
+
+def test_fold_bn():
+  params = {
+      "x.bn.weight": np.array([2.0]), "x.bn.bias": np.array([1.0]),
+      "x.bn.running_mean": np.array([0.5]),
+      "x.bn.running_var": np.array([4.0]),
+  }
+  scale, shift = inception._fold_bn(params, "x")
+  v = 3.0 * scale[0] + shift[0]
+  want = (3.0 - 0.5) / np.sqrt(4.0 + 1e-3) * 2.0 + 1.0
+  np.testing.assert_allclose(v, want, rtol=1e-6)
+
+
+def test_load_params_roundtrip(tmp_path):
+  rng = np.random.default_rng(0)
+  raw = {
+      "Conv2d_1a_3x3.conv.weight": rng.normal(size=(32, 3, 3, 3)).astype(
+          np.float32),
+      "Conv2d_1a_3x3.bn.weight": np.ones(32, np.float32),
+      "Conv2d_1a_3x3.bn.bias": np.zeros(32, np.float32),
+      "Conv2d_1a_3x3.bn.running_mean": np.zeros(32, np.float32),
+      "Conv2d_1a_3x3.bn.running_var": np.ones(32, np.float32),
+      "fc.weight": rng.normal(size=(1008, 2048)).astype(np.float32),
+      "fc.bias": np.zeros(1008, np.float32),
+  }
+  path = tmp_path / "w.npz"
+  np.savez(path, **raw)
+  p = inception.load_params(str(path))
+  assert p["Conv2d_1a_3x3.conv.weight"].shape == (3, 3, 3, 32)
+  assert p["fc.weight"].shape == (2048, 1008)
+  assert "Conv2d_1a_3x3.scale" in p

@@ -72,13 +72,14 @@ def test_train_step_updates_params_and_ema():
                                        optimizer=optimizer))
   batch = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
   new_state, loss = step_fn(state, batch)
-  assert int(new_state.step) == 1
+  new_state, loss = step_fn(new_state, batch)
+  assert int(new_state.step) == 2
   assert np.isfinite(float(loss))
-  # params changed
-  old_leaf = np.asarray(jax.tree.leaves(state.params)[0])
-  new_leaf = np.asarray(jax.tree.leaves(new_state.params)[0])
-  assert not np.array_equal(old_leaf, new_leaf)
-  assert int(new_state.ema.num_updates) == 1
+  # params changed (step 1 has lr=0 from warmup; step 2 has lr=lr/warmup > 0)
+  deltas = jax.tree.map(lambda a, b: float(np.max(np.abs(np.asarray(a - b)))),
+                        new_state.params, state.params)
+  assert max(jax.tree.leaves(deltas)) > 0
+  assert int(new_state.ema.num_updates) == 2
 
 
 def test_eval_step_uses_ema_params_and_keeps_state():

@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4(d))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from score_sde_pytorch_tpu import losses, parallel, sde as sde_lib
+from tests.test_losses import _setup
+
+
+def test_eight_virtual_devices():
+  assert jax.device_count() == 8
+
+
+def test_mesh_shapes():
+  mesh = parallel.create_mesh()
+  assert mesh.devices.shape == (8, 1)
+  mesh2 = parallel.create_mesh(n_data=4, n_space=2)
+  assert mesh2.devices.shape == (4, 2)
+
+
+def test_sharded_train_step_matches_single_device():
+  """The data-parallel step must produce the same loss/params trajectory as
+  the single-device step (same RNG stream → same math, psum averaging)."""
+  cfg, sde, model_def, state = _setup()
+  optimizer = losses.get_optimizer(cfg)
+  step_fn = losses.get_step_fn(sde, model_def, train=True,
+                               optimizer=optimizer)
+  batch = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 16, 3))
+
+  # single device
+  s1, loss1 = jax.jit(step_fn)(state, batch)
+
+  # 8-device mesh
+  mesh = parallel.create_mesh()
+  sharded_step = parallel.make_sharded_step(step_fn, mesh,
+                                            donate_state=False)
+  sharded_batch = parallel.shard_batch(np.asarray(batch), mesh)
+  s8, loss8 = sharded_step(state, sharded_batch)
+
+  np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+  l1 = jax.tree.leaves(s1.params)
+  l8 = jax.tree.leaves(s8.params)
+  for a, b in zip(l1, l8):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_batch_placement():
+  mesh = parallel.create_mesh()
+  batch = np.zeros((16, 8, 8, 3), np.float32)
+  sharded = parallel.shard_batch(batch, mesh)
+  assert sharded.sharding.spec == jax.sharding.PartitionSpec("data")
+  # Each device holds 1/8 of the batch.
+  shard_shapes = {s.data.shape for s in sharded.addressable_shards}
+  assert shard_shapes == {(2, 8, 8, 3)}
+
+
+def test_n_step_sharded():
+  cfg, sde, model_def, state = _setup()
+  optimizer = losses.get_optimizer(cfg)
+  n_fn = losses.get_n_step_fn(sde, model_def, train=True,
+                              optimizer=optimizer, n_steps=2)
+  mesh = parallel.create_mesh()
+  from score_sde_pytorch_tpu.parallel.mesh import make_sharded_n_step
+  fn = make_sharded_n_step(n_fn, mesh, donate_state=False)
+  batches = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16, 3))
+  new_state, losses_out = fn(state, jax.device_put(
+      np.asarray(batches),
+      jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))))
+  assert int(new_state.step) == 2
+  assert np.all(np.isfinite(np.asarray(losses_out)))
+
+
+def test_spatial_sharding_forward():
+  """NCSN++ forward under a (data=4, space=2) mesh with H sharded."""
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config()
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  mesh = parallel.create_mesh(n_data=4, n_space=2)
+  x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+  t = jnp.full((8,), 0.5)
+
+  fwd = jax.jit(
+      lambda v, x, t: model_def.apply(v, x, t, train=False),
+      in_shardings=(parallel.replicated(mesh),
+                    parallel.spatial_sharding(mesh),
+                    parallel.data_sharding(mesh)),
+      out_shardings=parallel.spatial_sharding(mesh))
+  out = fwd(variables, jax.device_put(x, parallel.spatial_sharding(mesh)),
+            jax.device_put(t, parallel.data_sharding(mesh)))
+  assert out.shape == (8, 16, 16, 3)
+  assert np.isfinite(np.asarray(out)).all()
