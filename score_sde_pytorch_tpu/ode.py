@@ -44,6 +44,7 @@ _SAFETY = 0.9
 _MIN_FACTOR = 0.2
 _MAX_FACTOR = 10.0
 _ORDER_EXP = -1.0 / 5.0
+_MIN_STEP = 1e-6  # float32 time resolution floor near t ~ 1
 
 
 def _tree_axpy(a, xs, ys):
@@ -91,18 +92,23 @@ def odeint_rk45(func: Callable[[Any, Array], Any], y0: Any, t0: float,
   def scale_of(y):
     return jax.tree.map(lambda l: atol + rtol * jnp.abs(l), y)
 
+  interval = jnp.abs(t1 - t0)
   scale = scale_of(y0)
   d0 = _rms_norm(jax.tree.map(lambda a, s: a / s, y0, scale))
   d1 = _rms_norm(jax.tree.map(lambda a, s: a / s, f0, scale))
   h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+  # Never probe outside the integration interval (stiff RHS such as the VE
+  # SDE's geometric sigma overflow immediately past t1).
+  h0 = jnp.minimum(h0, interval)
   y1_guess = _tree_axpy(h0 * direction, f0, y0)
   f1 = func(y1_guess, t0 + h0 * direction)
   d2 = _rms_norm(jax.tree.map(lambda a, b, s: (a - b) / s, f1, f0,
                               scale)) / h0
+  d2 = jnp.where(jnp.isfinite(d2), d2, 1.0 / h0)  # overflow → force small h
   h1 = jnp.where(jnp.maximum(d1, d2) <= 1e-15,
                  jnp.maximum(1e-6, h0 * 1e-3),
                  (0.01 / jnp.maximum(d1, d2)) ** (1.0 / 5.0))
-  h_init = jnp.minimum(100 * h0, h1)
+  h_init = jnp.clip(jnp.minimum(100 * h0, h1), _MIN_STEP, interval)
 
   def cond(carry):
     t, y, f, h, nfe, steps, done = carry
@@ -128,13 +134,17 @@ def odeint_rk45(func: Callable[[Any, Array], Any], y0: Any, t0: float,
         y_new = _tree_axpy(h_eff * direction * _B[i], ks[i], y_new)
     err = _weighted_sum(ks, [h_eff * e for e in _E])
     err_norm = _error_norm(err, y, y_new, rtol, atol)
+    # Overflowed/NaN step → treat as infinitely wrong (reject, shrink).
+    err_norm = jnp.where(jnp.isfinite(err_norm), err_norm, jnp.inf)
 
     accept = err_norm <= 1.0
     factor = jnp.where(
         err_norm <= 0.0, _MAX_FACTOR,
         jnp.clip(_SAFETY * err_norm ** _ORDER_EXP, _MIN_FACTOR, _MAX_FACTOR))
     factor = jnp.where(accept, factor, jnp.minimum(1.0, factor))
-    h_next = h_eff * factor
+    # Floor the step at the float32 time-resolution limit so t always
+    # advances (a smaller step cannot change t near t≈1 in fp32).
+    h_next = jnp.maximum(h_eff * factor, _MIN_STEP)
 
     t_new = jnp.where(accept, t + h_eff * direction, t)
     y_out = jax.tree.map(lambda a, b: jnp.where(accept, b, a), y, y_new)

@@ -56,7 +56,8 @@ def test_fid_from_activations_separated_gaussians():
 def test_inception_score_bounds():
   # Uniform logits → IS = 1 (no information).
   logits = np.zeros((100, 10))
-  assert evaluation.inception_score_from_logits(logits) == 1.0
+  np.testing.assert_allclose(
+      evaluation.inception_score_from_logits(logits), 1.0, rtol=1e-5)
   # One-hot confident logits, uniform marginal → IS = num_classes.
   logits = np.eye(10)[RNG.integers(0, 10, 1000)] * 50.0
   is_val = evaluation.inception_score_from_logits(logits)

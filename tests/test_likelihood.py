@@ -40,10 +40,11 @@ def test_gaussian_logp_recovered(sde):
   def drift_fn(x, t):
     return rsde.sde(x, t)[0]
 
-  # Gaussian Hutchinson with exact score: for the analytic *linear* drift the
-  # divergence is exact for any eps via jvp.
+  # Rademacher Hutchinson: the analytic drift is c(t)·x (diagonal Jacobian),
+  # so eps_i² = 1 makes the estimator exact per-sample.
   div_fn = likelihood_lib.get_div_fn(drift_fn)
-  eps_vec = jax.random.normal(jax.random.PRNGKey(1), shape)
+  eps_vec = jnp.where(
+      jax.random.bernoulli(jax.random.PRNGKey(1), 0.5, shape), 1.0, -1.0)
 
   def aug(y, t_scalar):
     x, _ = y
@@ -62,8 +63,9 @@ def test_gaussian_logp_recovered(sde):
 
 
 def test_div_fn_exact_for_linear():
-  """Hutchinson estimate is exact for linear f (any fixed eps)."""
-  a = jnp.array([[2.0, 1.0], [0.0, 3.0]])
+  """Rademacher-Hutchinson is exact per-sample for diagonal Jacobians
+  (eps_i² = 1); off-diagonal terms only vanish in expectation."""
+  a = jnp.array([[2.0, 0.0], [0.0, 3.0]])
 
   def f(x, t):
     return x @ a.T
