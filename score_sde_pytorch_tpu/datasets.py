@@ -269,23 +269,46 @@ class DatasetIterator:
     return next(self._it)
 
 
+def _make_iterator(images: Array, batch_size: int, *, random_flip: bool,
+                   uniform_dequantization: bool, shuffle: bool, seed: int,
+                   backend: str = "auto"):
+  """Pick the native C++ producer when available, numpy otherwise."""
+  if backend in ("auto", "native"):
+    try:
+      from score_sde_pytorch_tpu.native import NativeDataLoader
+      return NativeDataLoader(
+          images, batch_size, shuffle=shuffle, random_flip=random_flip,
+          uniform_dequantization=uniform_dequantization, seed=seed)
+    except (ImportError, RuntimeError):
+      if backend == "native":
+        raise
+  return DatasetIterator(
+      images, batch_size, random_flip=random_flip,
+      uniform_dequantization=uniform_dequantization, shuffle=shuffle,
+      seed=seed)
+
+
 def get_dataset(config, *, uniform_dequantization: bool = False,
-                evaluation: bool = False
-                ) -> Tuple[DatasetIterator, DatasetIterator]:
+                evaluation: bool = False):
   """Build (train_iter, eval_iter) (reference datasets.py:71-196).
 
   ``uniform_dequantization`` overrides the config flag (used by the bpd eval
-  pipeline, reference run_lib.py:236).
+  pipeline, reference run_lib.py:236). The batch producer is the native C++
+  threaded loader when it builds, with a numpy fallback
+  (``config.data.loader_backend`` ∈ {auto, native, python}).
   """
   batch_size = (config.training.batch_size if not evaluation
                 else config.eval.batch_size)
   dequant = uniform_dequantization or config.data.uniform_dequantization
+  backend = config.data.get("loader_backend", "auto")
   train_imgs = load_raw_dataset(config, "train")
   eval_imgs = load_raw_dataset(config, "test")
-  train_it = DatasetIterator(
+  train_it = _make_iterator(
       train_imgs, batch_size, random_flip=config.data.random_flip,
-      uniform_dequantization=dequant, shuffle=True, seed=config.seed)
-  eval_it = DatasetIterator(
+      uniform_dequantization=dequant, shuffle=True, seed=config.seed,
+      backend=backend)
+  eval_it = _make_iterator(
       eval_imgs, batch_size, random_flip=False,
-      uniform_dequantization=dequant, shuffle=False, seed=config.seed + 1)
+      uniform_dequantization=dequant, shuffle=False, seed=config.seed + 1,
+      backend="python" if backend == "python" else backend)
   return train_it, eval_it
