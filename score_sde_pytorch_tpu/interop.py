@@ -1,0 +1,349 @@
+"""Reference-checkpoint interop: convert torch .pth weights to flax params.
+
+Lets users of yang-song/score_sde_pytorch load their trained checkpoints into
+this framework (SURVEY.md §7 "checkpoint interop"). The reference stores
+models as a flat ``nn.ModuleList`` consumed positionally
+(/root/reference/models/ncsnpp.py:232-381, ddpm.py:113-181); this module
+replays the exact construction order to build an index→flax-name map, then
+converts each tensor's layout:
+
+* conv weights  OIHW → HWIO
+* linear weights (out,in) → (in,out)
+* GroupNorm weight/bias → scale/bias
+* NIN W/b and norm params pass through
+
+Entry point: :func:`torch_state_dict_to_flax(state_dict, config)` where
+``state_dict`` maps ``all_modules.<idx>.<param>`` → numpy arrays (load the
+.pth with ``torch.load(..., map_location='cpu')`` and call ``.numpy()``, or
+pass any mapping of numpy arrays — no torch dependency here).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def _conv(prefix_t, prefix_f, out):
+  out.append((f"{prefix_t}.weight", f"{prefix_f}/kernel", "conv"))
+  out.append((f"{prefix_t}.bias", f"{prefix_f}/bias", "copy"))
+
+
+def _conv_nobias(prefix_t, prefix_f, out):
+  out.append((f"{prefix_t}.weight", f"{prefix_f}/kernel", "conv"))
+
+
+def _dense(prefix_t, prefix_f, out):
+  out.append((f"{prefix_t}.weight", f"{prefix_f}/kernel", "dense"))
+  out.append((f"{prefix_t}.bias", f"{prefix_f}/bias", "copy"))
+
+
+def _groupnorm(prefix_t, prefix_f, out):
+  out.append((f"{prefix_t}.weight", f"{prefix_f}/scale", "copy"))
+  out.append((f"{prefix_t}.bias", f"{prefix_f}/bias", "copy"))
+
+
+def _nin(prefix_t, prefix_f, out):
+  out.append((f"{prefix_t}.W", f"{prefix_f}/W", "copy"))
+  out.append((f"{prefix_t}.b", f"{prefix_f}/b", "copy"))
+
+
+def _attn(idx, name, out):
+  base = f"all_modules.{idx}"
+  _groupnorm(f"{base}.GroupNorm_0", f"{name}/GroupNorm_0", out)
+  for i in range(4):
+    _nin(f"{base}.NIN_{i}", f"{name}/NIN_{i}", out)
+
+
+def _resblock(idx, name, out, *, resblock_type, in_ch, out_ch, up=False,
+              down=False, temb=True):
+  """ResnetBlockDDPMpp / ResnetBlockBigGANpp parameter rows
+  (reference layerspp.py:166-274)."""
+  base = f"all_modules.{idx}"
+  _groupnorm(f"{base}.GroupNorm_0", f"{name}/GroupNorm_0", out)
+  _conv(f"{base}.Conv_0", f"{name}/Conv_0", out)
+  if temb:
+    _dense(f"{base}.Dense_0", f"{name}/Dense_0", out)
+  _groupnorm(f"{base}.GroupNorm_1", f"{name}/GroupNorm_1", out)
+  _conv(f"{base}.Conv_1", f"{name}/Conv_1", out)
+  if resblock_type == "biggan":
+    if in_ch != out_ch or up or down:
+      _conv(f"{base}.Conv_2", f"{name}/Conv_2", out)
+  else:
+    if in_ch != out_ch:
+      _nin(f"{base}.NIN_0", f"{name}/NIN_0", out)
+
+
+def _updown_sample(idx, name, out, *, with_conv, fir):
+  base = f"all_modules.{idx}"
+  if not with_conv:
+    return
+  if fir:
+    out.append((f"{base}.Conv2d_0.weight", f"{name}/Conv2d_0/weight",
+                "conv"))
+    out.append((f"{base}.Conv2d_0.bias", f"{name}/Conv2d_0/bias", "copy"))
+  else:
+    _conv(f"{base}.Conv_0", f"{name}/Conv_0", out)
+
+
+def ncsnpp_param_map(config) -> List[Tuple[str, str, str]]:
+  """Replay NCSNpp construction (reference ncsnpp.py:69-230) to produce
+  (torch_key, flax_path, transform) rows."""
+  rows: List[Tuple[str, str, str]] = []
+  m = config.model
+  nf = m.nf
+  ch_mult = tuple(m.ch_mult)
+  num_res_blocks = m.num_res_blocks
+  num_resolutions = len(ch_mult)
+  attn_resolutions = tuple(m.attn_resolutions)
+  all_resolutions = [config.data.image_size // (2 ** i)
+                     for i in range(num_resolutions)]
+  fir = m.fir
+  resamp_with_conv = m.resamp_with_conv
+  resblock_type = m.resblock_type.lower()
+  progressive = m.progressive.lower()
+  progressive_input = m.progressive_input.lower()
+  embedding_type = m.embedding_type.lower()
+  combine_method = m.progressive_combine.lower()
+  channels = config.data.num_channels
+
+  idx = 0
+  if embedding_type == "fourier":
+    rows.append((f"all_modules.{idx}.W", "FourierProj/W", "copy"))
+    idx += 1
+  if m.conditional:
+    _dense(f"all_modules.{idx}", "Dense_t0", rows); idx += 1
+    _dense(f"all_modules.{idx}", "Dense_t1", rows); idx += 1
+
+  _conv(f"all_modules.{idx}", "conv_in", rows); idx += 1
+
+  hs_c = [nf]
+  in_ch = nf
+  input_pyramid_ch = channels
+  for i_level in range(num_resolutions):
+    for i_block in range(num_res_blocks):
+      out_ch = nf * ch_mult[i_level]
+      _resblock(idx, f"down_{i_level}_block_{i_block}", rows,
+                resblock_type=resblock_type, in_ch=in_ch, out_ch=out_ch)
+      idx += 1
+      in_ch = out_ch
+      if all_resolutions[i_level] in attn_resolutions:
+        _attn(idx, f"down_{i_level}_attn_{i_block}", rows); idx += 1
+      hs_c.append(in_ch)
+    if i_level != num_resolutions - 1:
+      if resblock_type == "ddpm":
+        _updown_sample(idx, f"down_{i_level}_downsample", rows,
+                       with_conv=resamp_with_conv, fir=fir)
+      else:
+        _resblock(idx, f"down_{i_level}_downsample", rows,
+                  resblock_type=resblock_type, in_ch=in_ch, out_ch=in_ch,
+                  down=True)
+      idx += 1
+      if progressive_input == "input_skip":
+        _conv(f"all_modules.{idx}.Conv_0", f"combine_{i_level}/Conv_0", rows)
+        idx += 1
+        if combine_method == "cat":
+          in_ch *= 2
+      elif progressive_input == "residual":
+        # pyramid_downsample with conv (Conv2dFused)
+        rows.append((f"all_modules.{idx}.Conv2d_0.weight",
+                     f"pyramid_downsample_{i_level}/Conv2d_0/weight", "conv"))
+        rows.append((f"all_modules.{idx}.Conv2d_0.bias",
+                     f"pyramid_downsample_{i_level}/Conv2d_0/bias", "copy"))
+        idx += 1
+        input_pyramid_ch = in_ch
+      hs_c.append(in_ch)
+
+  _resblock(idx, "mid_block_0", rows, resblock_type=resblock_type,
+            in_ch=in_ch, out_ch=in_ch); idx += 1
+  _attn(idx, "mid_attn", rows); idx += 1
+  _resblock(idx, "mid_block_1", rows, resblock_type=resblock_type,
+            in_ch=in_ch, out_ch=in_ch); idx += 1
+
+  pyramid_ch = 0
+  for i_level in reversed(range(num_resolutions)):
+    for i_block in range(num_res_blocks + 1):
+      out_ch = nf * ch_mult[i_level]
+      _resblock(idx, f"up_{i_level}_block_{i_block}", rows,
+                resblock_type=resblock_type, in_ch=in_ch + hs_c.pop(),
+                out_ch=out_ch)
+      idx += 1
+      in_ch = out_ch
+    if all_resolutions[i_level] in attn_resolutions:
+      _attn(idx, f"up_{i_level}_attn", rows); idx += 1
+    if progressive != "none":
+      if i_level == num_resolutions - 1:
+        _groupnorm(f"all_modules.{idx}", f"pyramid_norm_{i_level}", rows)
+        idx += 1
+        _conv(f"all_modules.{idx}", f"pyramid_conv_{i_level}", rows)
+        idx += 1
+        pyramid_ch = channels if progressive == "output_skip" else in_ch
+      else:
+        if progressive == "output_skip":
+          _groupnorm(f"all_modules.{idx}", f"pyramid_norm_{i_level}", rows)
+          idx += 1
+          _conv(f"all_modules.{idx}", f"pyramid_conv_{i_level}", rows)
+          idx += 1
+          pyramid_ch = channels
+        elif progressive == "residual":
+          rows.append((f"all_modules.{idx}.Conv2d_0.weight",
+                       f"pyramid_upsample_{i_level}/Conv2d_0/weight", "conv"))
+          rows.append((f"all_modules.{idx}.Conv2d_0.bias",
+                       f"pyramid_upsample_{i_level}/Conv2d_0/bias", "copy"))
+          idx += 1
+          pyramid_ch = in_ch
+    if i_level != 0:
+      if resblock_type == "ddpm":
+        _updown_sample(idx, f"up_{i_level}_upsample", rows,
+                       with_conv=resamp_with_conv, fir=fir)
+      else:
+        _resblock(idx, f"up_{i_level}_upsample", rows,
+                  resblock_type=resblock_type, in_ch=in_ch, out_ch=in_ch,
+                  up=True)
+      idx += 1
+
+  if progressive != "output_skip":
+    _groupnorm(f"all_modules.{idx}", "norm_out", rows); idx += 1
+    _conv(f"all_modules.{idx}", "conv_out", rows); idx += 1
+  return rows
+
+
+def ddpm_param_map(config) -> List[Tuple[str, str, str]]:
+  """Replay DDPM construction (reference ddpm.py:41-107)."""
+  rows: List[Tuple[str, str, str]] = []
+  m = config.model
+  nf = m.nf
+  ch_mult = tuple(m.ch_mult)
+  num_res_blocks = m.num_res_blocks
+  num_resolutions = len(ch_mult)
+  attn_resolutions = tuple(m.attn_resolutions)
+  all_resolutions = [config.data.image_size // (2 ** i)
+                     for i in range(num_resolutions)]
+  resamp_with_conv = m.resamp_with_conv
+
+  def legacy_resblock(idx, name, in_ch, out_ch):
+    base = f"all_modules.{idx}"
+    _groupnorm(f"{base}.GroupNorm_0", f"{name}/GroupNorm_0", rows)
+    _conv(f"{base}.Conv_0", f"{name}/Conv_0", rows)
+    _dense(f"{base}.Dense_0", f"{name}/Dense_0", rows)
+    _groupnorm(f"{base}.GroupNorm_1", f"{name}/GroupNorm_1", rows)
+    _conv(f"{base}.Conv_1", f"{name}/Conv_1", rows)
+    if in_ch != out_ch:
+      _nin(f"{base}.NIN_0", f"{name}/NIN_0", rows)
+
+  def legacy_attn(idx, name):
+    base = f"all_modules.{idx}"
+    _groupnorm(f"{base}.GroupNorm_0", f"{name}/GroupNorm_0", rows)
+    for i in range(4):
+      _nin(f"{base}.NIN_{i}", f"{name}/NIN_{i}", rows)
+
+  idx = 0
+  if m.conditional:
+    _dense(f"all_modules.{idx}", "Dense_t0", rows); idx += 1
+    _dense(f"all_modules.{idx}", "Dense_t1", rows); idx += 1
+  _conv(f"all_modules.{idx}", "conv_in", rows); idx += 1
+
+  hs_c = [nf]
+  in_ch = nf
+  for i_level in range(num_resolutions):
+    for i_block in range(num_res_blocks):
+      out_ch = nf * ch_mult[i_level]
+      legacy_resblock(idx, f"down_{i_level}_block_{i_block}", in_ch, out_ch)
+      idx += 1
+      in_ch = out_ch
+      if all_resolutions[i_level] in attn_resolutions:
+        legacy_attn(idx, f"down_{i_level}_attn_{i_block}"); idx += 1
+      hs_c.append(in_ch)
+    if i_level != num_resolutions - 1:
+      if resamp_with_conv:
+        _conv(f"all_modules.{idx}.Conv_0",
+              f"down_{i_level}_downsample/Conv_0", rows)
+      idx += 1
+      hs_c.append(in_ch)
+
+  legacy_resblock(idx, "mid_block_0", in_ch, in_ch); idx += 1
+  legacy_attn(idx, "mid_attn"); idx += 1
+  legacy_resblock(idx, "mid_block_1", in_ch, in_ch); idx += 1
+
+  for i_level in reversed(range(num_resolutions)):
+    for i_block in range(num_res_blocks + 1):
+      out_ch = nf * ch_mult[i_level]
+      legacy_resblock(idx, f"up_{i_level}_block_{i_block}",
+                      in_ch + hs_c.pop(), out_ch)
+      idx += 1
+      in_ch = out_ch
+    if all_resolutions[i_level] in attn_resolutions:
+      legacy_attn(idx, f"up_{i_level}_attn"); idx += 1
+    if i_level != 0:
+      if resamp_with_conv:
+        _conv(f"all_modules.{idx}.Conv_0",
+              f"up_{i_level}_upsample/Conv_0", rows)
+      idx += 1
+
+  _groupnorm(f"all_modules.{idx}", "norm_out", rows); idx += 1
+  _conv(f"all_modules.{idx}", "conv_out", rows); idx += 1
+  return rows
+
+
+def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
+  if kind == "conv":
+    assert arr.ndim == 4, arr.shape
+    return np.transpose(arr, (2, 3, 1, 0))  # OIHW → HWIO
+  if kind == "dense":
+    assert arr.ndim == 2
+    return arr.T
+  return arr
+
+
+def _insert(tree: Dict, path: str, value: np.ndarray):
+  parts = path.split("/")
+  node = tree
+  for p in parts[:-1]:
+    node = node.setdefault(p, {})
+  node[parts[-1]] = value
+
+
+def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
+                             config) -> Dict:
+  """Convert a reference model state_dict (numpy values) to a flax params
+  tree for the equivalent model here. Raises if any torch key is missing or
+  left unconsumed (structural check)."""
+  name = config.model.name
+  if name == "ncsnpp":
+    rows = ncsnpp_param_map(config)
+  elif name == "ddpm":
+    rows = ddpm_param_map(config)
+  else:
+    raise NotImplementedError(f"interop for model {name} not implemented")
+
+  # The reference wraps in DataParallel → keys may carry "module." prefix;
+  # `sigmas` is a buffer, not a param.
+  cleaned = {}
+  for k, v in state_dict.items():
+    k = k[len("module."):] if k.startswith("module.") else k
+    if k == "sigmas":
+      continue
+    cleaned[k] = np.asarray(v)
+
+  tree: Dict = {}
+  consumed = set()
+  for torch_key, flax_path, kind in rows:
+    if torch_key not in cleaned:
+      raise KeyError(f"reference checkpoint missing {torch_key}")
+    _insert(tree, flax_path, _transform(cleaned[torch_key], kind))
+    consumed.add(torch_key)
+  leftovers = set(cleaned) - consumed
+  if leftovers:
+    raise ValueError(f"unconsumed reference params: {sorted(leftovers)[:8]}"
+                     f" (+{max(0, len(leftovers) - 8)} more)")
+  return tree
+
+
+def load_torch_checkpoint(path: str, config) -> Dict:
+  """Load a reference .pth checkpoint file and convert the EMA-free model
+  params (requires torch; CPU is enough)."""
+  import torch
+  ckpt = torch.load(path, map_location="cpu", weights_only=False)
+  model_sd = ckpt["model"] if "model" in ckpt else ckpt
+  np_sd = {k: v.detach().cpu().numpy() for k, v in model_sd.items()}
+  return torch_state_dict_to_flax(np_sd, config)

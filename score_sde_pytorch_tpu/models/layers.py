@@ -52,24 +52,15 @@ def ncsn_init(scale: float = 1.0):
   return nn.initializers.variance_scaling(scale ** 2 / 3.0, "fan_in", "uniform")
 
 
-class DDPMConv(nn.Module):
-  """3x3/1x1 conv with DDPM init (reference layers.py:108-131)."""
-  features: int
-  kernel: int = 3
-  stride: int = 1
-  dilation: int = 1
-  use_bias: bool = True
-  init_scale: float = 1.0
-  padding: Any = "SAME"
+def DDPMConv(features, kernel=3, stride=1, dilation=1, use_bias=True,
+             init_scale=1.0, padding="SAME", name=None):
+  """3x3/1x1 conv with DDPM init (reference layers.py:108-131).
 
-  @nn.compact
-  def __call__(self, x: Array) -> Array:
-    return nn.Conv(self.features, (self.kernel, self.kernel),
-                   strides=(self.stride, self.stride),
-                   kernel_dilation=(self.dilation, self.dilation),
-                   padding=self.padding, use_bias=self.use_bias,
-                   kernel_init=default_init(self.init_scale),
-                   bias_init=nn.initializers.zeros)(x)
+  Returns a plain nn.Conv (no wrapper module → flat param paths)."""
+  return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                 kernel_dilation=(dilation, dilation), padding=padding,
+                 use_bias=use_bias, kernel_init=default_init(init_scale),
+                 bias_init=nn.initializers.zeros, name=name)
 
 
 def ddpm_conv3x3(features, stride=1, use_bias=True, dilation=1, init_scale=1.0,
@@ -84,24 +75,13 @@ def ddpm_conv1x1(features, stride=1, use_bias=True, init_scale=1.0, name=None):
                   init_scale=init_scale, name=name)
 
 
-class NCSNConv(nn.Module):
+def NCSNConv(features, kernel=3, stride=1, dilation=1, use_bias=True,
+             init_scale=1.0, padding="SAME", name=None):
   """Conv with (scaled) torch-default init (reference layers.py:44,100)."""
-  features: int
-  kernel: int = 3
-  stride: int = 1
-  dilation: int = 1
-  use_bias: bool = True
-  init_scale: float = 1.0
-  padding: Any = "SAME"
-
-  @nn.compact
-  def __call__(self, x: Array) -> Array:
-    return nn.Conv(self.features, (self.kernel, self.kernel),
-                   strides=(self.stride, self.stride),
-                   kernel_dilation=(self.dilation, self.dilation),
-                   padding=self.padding, use_bias=self.use_bias,
-                   kernel_init=ncsn_init(self.init_scale),
-                   bias_init=nn.initializers.zeros)(x)
+  return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                 kernel_dilation=(dilation, dilation), padding=padding,
+                 use_bias=use_bias, kernel_init=ncsn_init(init_scale),
+                 bias_init=nn.initializers.zeros, name=name)
 
 
 def ncsn_conv3x3(features, stride=1, use_bias=True, dilation=1, init_scale=1.0,

@@ -101,12 +101,25 @@ def train(config, workdir: str) -> None:
   num_train_steps = config.training.n_iters
   logging.info("Starting training loop at step %d.", initial_step)
 
+  # Profiling: jax.profiler trace server + optional windowed trace capture
+  # (the reference has no profiling at all — SURVEY.md §5).
+  prof_port = config.training.get("profiler_port", 0)
+  if prof_port:
+    jax.profiler.start_server(prof_port)
+  trace_steps = config.training.get("trace_steps", 0)
+  if trace_steps:
+    jax.profiler.start_trace(os.path.join(workdir, "profile"))
+
   step = initial_step
   t_last = time.time()
   while step < num_train_steps:
     state, loss = train_step(state, next_batches(train_iter))
     step = int(state.step)
     loss_val = float(jnp.mean(loss))
+
+    if trace_steps and step - initial_step >= trace_steps:
+      jax.profiler.stop_trace()
+      trace_steps = 0
 
     if step % config.training.log_freq < n_jitted:
       dt = time.time() - t_last

@@ -1,0 +1,158 @@
+"""Reference-checkpoint interop tests.
+
+Structural: the replayed construction-order map must cover the flax model's
+param tree exactly (every leaf, right shapes) for NCSN++ variants and DDPM.
+Numerical: layout transforms (OIHW→HWIO, linear transpose, groupnorm) are
+validated against torch.nn on random weights.
+"""
+import jax
+import numpy as np
+import pytest
+
+from score_sde_pytorch_tpu import interop
+from score_sde_pytorch_tpu.models import utils as mutils
+import score_sde_pytorch_tpu.models  # noqa: F401
+from tests.test_models import tiny_config
+
+
+def _flatten(tree, prefix=""):
+  out = {}
+  for k, v in tree.items():
+    path = f"{prefix}/{k}" if prefix else k
+    if isinstance(v, dict):
+      out.update(_flatten(v, path))
+    else:
+      out[path] = np.asarray(v)
+  return out
+
+
+def _inverse_transform(arr, kind):
+  if kind == "conv":
+    return np.transpose(arr, (3, 2, 0, 1))  # HWIO → OIHW
+  if kind == "dense":
+    return arr.T
+  return arr
+
+
+def _roundtrip_check(cfg, rows):
+  """Build a fake torch state dict FROM our param shapes via the map, then
+  convert back and compare against the real init tree."""
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  flat = _flatten(jax.tree.map(np.asarray, variables["params"]))
+
+  mapped_paths = {flax_path for _, flax_path, _ in rows}
+  missing = set(flat) - mapped_paths
+  extra = mapped_paths - set(flat)
+  assert not missing, f"map misses flax params: {sorted(missing)[:6]}"
+  assert not extra, f"map invents params: {sorted(extra)[:6]}"
+
+  rng = np.random.default_rng(0)
+  torch_sd = {}
+  for torch_key, flax_path, kind in rows:
+    shaped = _inverse_transform(flat[flax_path], kind)
+    torch_sd[torch_key] = rng.normal(size=shaped.shape).astype(np.float32)
+  torch_sd["sigmas"] = np.zeros(3)  # buffer must be ignored
+
+  tree = interop.torch_state_dict_to_flax(torch_sd, cfg)
+  flat_out = _flatten(tree)
+  assert set(flat_out) == set(flat)
+  for path in flat:
+    assert flat_out[path].shape == flat[path].shape, path
+
+
+def test_ncsnpp_biggan_map():
+  cfg = tiny_config()
+  _roundtrip_check(cfg, interop.ncsnpp_param_map(cfg))
+
+
+def test_ncsnpp_fir_progressive_map():
+  cfg = tiny_config(fir=True, progressive="output_skip",
+                    progressive_input="input_skip",
+                    progressive_combine="cat")
+  _roundtrip_check(cfg, interop.ncsnpp_param_map(cfg))
+
+
+def test_ncsnpp_residual_progressive_map():
+  cfg = tiny_config(fir=True, progressive="residual",
+                    progressive_input="residual")
+  _roundtrip_check(cfg, interop.ncsnpp_param_map(cfg))
+
+
+def test_ncsnpp_ddpm_resblocks_map():
+  cfg = tiny_config(resblock_type="ddpm", embedding_type="positional",
+                    scale_by_sigma=False)
+  _roundtrip_check(cfg, interop.ncsnpp_param_map(cfg))
+
+
+def test_ddpm_map():
+  cfg = tiny_config(name="ddpm", embedding_type="positional",
+                    scale_by_sigma=False)
+  _roundtrip_check(cfg, interop.ddpm_param_map(cfg))
+
+
+def test_unconsumed_keys_rejected():
+  cfg = tiny_config()
+  rows = interop.ncsnpp_param_map(cfg)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  flat = _flatten(jax.tree.map(np.asarray, variables["params"]))
+  torch_sd = {tk: _inverse_transform(flat[fp], kind)
+              for tk, fp, kind in rows}
+  torch_sd["all_modules.999.weight"] = np.zeros(3)
+  with pytest.raises(ValueError):
+    interop.torch_state_dict_to_flax(torch_sd, cfg)
+
+
+def test_conv_transform_matches_torch():
+  torch = pytest.importorskip("torch")
+  import jax.numpy as jnp
+  from jax import lax
+  rng = np.random.default_rng(0)
+  w = rng.normal(size=(6, 3, 3, 3)).astype(np.float32)  # OIHW
+  b = rng.normal(size=(6,)).astype(np.float32)
+  x = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+
+  with torch.no_grad():
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ty = torch.nn.functional.conv2d(tx, torch.from_numpy(w),
+                                    torch.from_numpy(b), padding=1)
+    want = ty.numpy().transpose(0, 2, 3, 1)
+
+  w_flax = interop._transform(w, "conv")
+  got = lax.conv_general_dilated(
+      jnp.asarray(x), jnp.asarray(w_flax), (1, 1), ((1, 1), (1, 1)),
+      dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+  np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_transform_matches_torch():
+  torch = pytest.importorskip("torch")
+  rng = np.random.default_rng(0)
+  w = rng.normal(size=(5, 7)).astype(np.float32)  # (out, in)
+  b = rng.normal(size=(5,)).astype(np.float32)
+  x = rng.normal(size=(3, 7)).astype(np.float32)
+  with torch.no_grad():
+    want = torch.nn.functional.linear(
+        torch.from_numpy(x), torch.from_numpy(w),
+        torch.from_numpy(b)).numpy()
+  got = x @ interop._transform(w, "dense") + b
+  np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_groupnorm_matches_torch():
+  torch = pytest.importorskip("torch")
+  import flax.linen as nn
+  import jax.numpy as jnp
+  rng = np.random.default_rng(0)
+  c = 8
+  x = rng.normal(size=(2, 4, 4, c)).astype(np.float32)
+  gamma = rng.normal(size=(c,)).astype(np.float32)
+  beta = rng.normal(size=(c,)).astype(np.float32)
+  with torch.no_grad():
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = torch.nn.functional.group_norm(
+        tx, 4, torch.from_numpy(gamma), torch.from_numpy(beta),
+        eps=1e-6).numpy().transpose(0, 2, 3, 1)
+  gn = nn.GroupNorm(num_groups=4, epsilon=1e-6)
+  got = gn.apply({"params": {"scale": jnp.asarray(gamma),
+                             "bias": jnp.asarray(beta)}}, jnp.asarray(x))
+  np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
