@@ -40,16 +40,18 @@ def main():
       snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
       probability_flow=False, continuous=True, denoise=True)
 
+  import numpy as np
   rng = jax.random.PRNGKey(0)
-  # Warmup/compile
+  # Warmup/compile. NOTE: completion is forced with a host fetch —
+  # block_until_ready does not reliably block on relayed TPU backends.
   samples, nfe = sampler(rng, params)
-  samples.block_until_ready()
+  np.asarray(samples)
 
   n_rounds = 2
   t0 = time.time()
   for i in range(n_rounds):
     samples, nfe = sampler(jax.random.fold_in(rng, i), params)
-  samples.block_until_ready()
+    np.asarray(samples)
   dt = time.time() - t0
 
   n_chips = jax.device_count()
