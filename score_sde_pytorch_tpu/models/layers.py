@@ -53,26 +53,29 @@ def ncsn_init(scale: float = 1.0):
 
 
 def DDPMConv(features, kernel=3, stride=1, dilation=1, use_bias=True,
-             init_scale=1.0, padding="SAME", name=None):
+             init_scale=1.0, padding="SAME", name=None, dtype=None):
   """3x3/1x1 conv with DDPM init (reference layers.py:108-131).
 
-  Returns a plain nn.Conv (no wrapper module → flat param paths)."""
+  Returns a plain nn.Conv (no wrapper module → flat param paths). ``dtype``
+  is the computation dtype (params stay fp32); bf16 compute halves HBM
+  traffic on TPU."""
   return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                  kernel_dilation=(dilation, dilation), padding=padding,
                  use_bias=use_bias, kernel_init=default_init(init_scale),
-                 bias_init=nn.initializers.zeros, name=name)
+                 bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 def ddpm_conv3x3(features, stride=1, use_bias=True, dilation=1, init_scale=1.0,
-                 padding="SAME", name=None):
+                 padding="SAME", name=None, dtype=None):
   return DDPMConv(features, kernel=3, stride=stride, use_bias=use_bias,
                   dilation=dilation, init_scale=init_scale, padding=padding,
-                  name=name)
+                  name=name, dtype=dtype)
 
 
-def ddpm_conv1x1(features, stride=1, use_bias=True, init_scale=1.0, name=None):
+def ddpm_conv1x1(features, stride=1, use_bias=True, init_scale=1.0, name=None,
+                 dtype=None):
   return DDPMConv(features, kernel=1, stride=stride, use_bias=use_bias,
-                  init_scale=init_scale, name=name)
+                  init_scale=init_scale, name=name, dtype=dtype)
 
 
 def NCSNConv(features, kernel=3, stride=1, dilation=1, use_bias=True,
@@ -123,13 +126,16 @@ class NIN(nn.Module):
   """1x1 'network-in-network' via contraction (reference layers.py:546-555)."""
   num_units: int
   init_scale: float = 0.1
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
     in_dim = x.shape[-1]
     w = self.param("W", default_init(self.init_scale), (in_dim, self.num_units))
     b = self.param("b", nn.initializers.zeros, (self.num_units,))
-    return jnp.einsum("...c,cd->...d", x, w) + b
+    if self.dtype is not None:
+      x, w = x.astype(self.dtype), w.astype(self.dtype)
+    return jnp.einsum("...c,cd->...d", x, w) + b.astype(x.dtype)
 
 
 class AttnBlock(nn.Module):

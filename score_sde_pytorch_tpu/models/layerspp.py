@@ -44,10 +44,11 @@ class Combine(nn.Module):
   """Combine a progressive-input branch with the trunk (reference layerspp.py:44-59)."""
   dim2: int
   method: str = "cat"
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array, y: Array) -> Array:
-    h = conv1x1(self.dim2, name="Conv_0")(x)
+    h = conv1x1(self.dim2, dtype=self.dtype, name="Conv_0")(x).astype(y.dtype)
     if self.method == "cat":
       return jnp.concatenate([h, y], axis=-1)
     if self.method == "sum":
@@ -59,20 +60,25 @@ class AttnBlockpp(nn.Module):
   """Channel-wise self-attention w/ skip rescale (reference layerspp.py:62-91)."""
   skip_rescale: bool = False
   init_scale: float = 0.0
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
     b, h, w, c = x.shape
     hid = nn.GroupNorm(num_groups=min(c // 4, 32), epsilon=1e-6,
-                       name="GroupNorm_0")(x)
-    q = NIN(c, name="NIN_0")(hid)
-    k = NIN(c, name="NIN_1")(hid)
-    v = NIN(c, name="NIN_2")(hid)
+                       dtype=jnp.float32, name="GroupNorm_0")(x)
+    q = NIN(c, dtype=self.dtype, name="NIN_0")(hid)
+    k = NIN(c, dtype=self.dtype, name="NIN_1")(hid)
+    v = NIN(c, dtype=self.dtype, name="NIN_2")(hid)
     logits = jnp.einsum("bhwc,bijc->bhwij", q, k) * (c ** -0.5)
     logits = logits.reshape(b, h, w, h * w)
-    attn = jax.nn.softmax(logits, axis=-1).reshape(b, h, w, h, w)
+    # softmax in fp32 for numerical stability
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    attn = attn.astype(v.dtype).reshape(b, h, w, h, w)
     out = jnp.einsum("bhwij,bijc->bhwc", attn, v)
-    out = NIN(c, init_scale=self.init_scale, name="NIN_3")(out)
+    out = NIN(c, init_scale=self.init_scale, dtype=self.dtype,
+              name="NIN_3")(out)
+    out = out.astype(x.dtype)
     if not self.skip_rescale:
       return x + out
     return (x + out) / math.sqrt(2.0)
@@ -88,6 +94,7 @@ class Conv2dFused(nn.Module):
   resample_kernel: Tuple[int, ...] = (1, 3, 3, 1)
   use_bias: bool = True
   kernel_init: Any = None
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -97,6 +104,8 @@ class Conv2dFused(nn.Module):
     init = self.kernel_init or nn.initializers.zeros
     w = self.param("weight", init,
                    (self.kernel, self.kernel, in_ch, self.out_ch))
+    if self.dtype is not None:
+      x, w = x.astype(self.dtype), w.astype(self.dtype)
     if self.up:
       x = ops.upsample_conv_2d(x, w, k=self.resample_kernel)
     elif self.down:
@@ -117,6 +126,7 @@ class Upsample(nn.Module):
   with_conv: bool = False
   fir: bool = False
   fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -125,14 +135,15 @@ class Upsample(nn.Module):
     if not self.fir:
       y = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
       if self.with_conv:
-        y = conv3x3(out_ch, name="Conv_0")(y)
+        y = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(y)
     else:
       if not self.with_conv:
         y = ops.upsample_2d(x, self.fir_kernel, factor=2)
       else:
         y = Conv2dFused(out_ch, kernel=3, up=True,
                         resample_kernel=self.fir_kernel, use_bias=True,
-                        kernel_init=default_init(), name="Conv2d_0")(x)
+                        kernel_init=default_init(), dtype=self.dtype,
+                        name="Conv2d_0")(x)
     return y
 
 
@@ -142,6 +153,7 @@ class Downsample(nn.Module):
   with_conv: bool = False
   fir: bool = False
   fir_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -150,7 +162,7 @@ class Downsample(nn.Module):
     if not self.fir:
       if self.with_conv:
         y = conv3x3(out_ch, stride=2, padding=[(0, 1), (0, 1)],
-                    name="Conv_0")(x)
+                    dtype=self.dtype, name="Conv_0")(x)
       else:
         y = nn.avg_pool(x, (2, 2), strides=(2, 2))
     else:
@@ -159,7 +171,8 @@ class Downsample(nn.Module):
       else:
         y = Conv2dFused(out_ch, kernel=3, down=True,
                         resample_kernel=self.fir_kernel, use_bias=True,
-                        kernel_init=default_init(), name="Conv2d_0")(x)
+                        kernel_init=default_init(), dtype=self.dtype,
+                        name="Conv2d_0")(x)
     return y
 
 
@@ -172,6 +185,7 @@ class ResnetBlockDDPMpp(nn.Module):
   skip_rescale: bool = False
   init_scale: float = 0.0
   temb_dim: Optional[int] = None
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -179,21 +193,23 @@ class ResnetBlockDDPMpp(nn.Module):
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
     h = self.act(nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                              name="GroupNorm_0")(x))
-    h = conv3x3(out_ch, name="Conv_0")(h)
+                              dtype=jnp.float32, name="GroupNorm_0")(x))
+    h = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
                     name="Dense_0")(self.act(temb))[:, None, None, :]
     h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                              name="GroupNorm_1")(h))
+                              dtype=jnp.float32, name="GroupNorm_1")(h))
     h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-    h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+    h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                name="Conv_1")(h)
     if in_ch != out_ch:
       if self.conv_shortcut:
-        x = conv3x3(out_ch, name="Conv_2")(x)
+        x = conv3x3(out_ch, dtype=self.dtype, name="Conv_2")(x)
       else:
-        x = NIN(out_ch, name="NIN_0")(x)
+        x = NIN(out_ch, dtype=self.dtype, name="NIN_0")(x)
+    h = h.astype(x.dtype)
     if not self.skip_rescale:
       return x + h
     return (x + h) / math.sqrt(2.0)
@@ -211,6 +227,7 @@ class ResnetBlockBigGANpp(nn.Module):
   skip_rescale: bool = True
   init_scale: float = 0.0
   temb_dim: Optional[int] = None
+  dtype: Any = None
 
   @nn.compact
   def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -218,7 +235,7 @@ class ResnetBlockBigGANpp(nn.Module):
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
     h = self.act(nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                              name="GroupNorm_0")(x))
+                              dtype=jnp.float32, name="GroupNorm_0")(x))
     if self.up:
       if self.fir:
         h = ops.upsample_2d(h, self.fir_kernel, factor=2)
@@ -233,17 +250,19 @@ class ResnetBlockBigGANpp(nn.Module):
       else:
         h = ops.naive_downsample_2d(h, factor=2)
         x = ops.naive_downsample_2d(x, factor=2)
-    h = conv3x3(out_ch, name="Conv_0")(h)
+    h = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
-                    bias_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
                     name="Dense_0")(self.act(temb))[:, None, None, :]
     h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                              name="GroupNorm_1")(h))
+                              dtype=jnp.float32, name="GroupNorm_1")(h))
     h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-    h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
+    h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
+                name="Conv_1")(h)
     if in_ch != out_ch or self.up or self.down:
-      x = conv1x1(out_ch, name="Conv_2")(x)
+      x = conv1x1(out_ch, dtype=self.dtype, name="Conv_2")(x)
+    h = h.astype(x.dtype)
     if not self.skip_rescale:
       return x + h
     return (x + h) / math.sqrt(2.0)

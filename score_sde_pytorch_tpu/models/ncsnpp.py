@@ -54,6 +54,10 @@ class NCSNpp(nn.Module):
     embedding_type = config.model.embedding_type.lower()
     init_scale = config.model.init_scale
     combine_method = config.model.progressive_combine.lower()
+    # Computation dtype: bf16 halves HBM traffic (params stay fp32, norms
+    # and softmax run fp32) — config.model.dtype ∈ {float32, bfloat16}.
+    dtype = (jnp.bfloat16 if config.model.get("dtype", "float32") == "bfloat16"
+             else None)
     assert progressive in ["none", "output_skip", "residual"]
     assert progressive_input in ["none", "input_skip", "residual"]
     assert embedding_type in ["fourier", "positional"]
@@ -66,19 +70,20 @@ class NCSNpp(nn.Module):
         return ResnetBlockDDPM(act=act, out_ch=out_ch, dropout=dropout,
                                init_scale=init_scale,
                                skip_rescale=skip_rescale,
-                               temb_dim=nf * 4, name=name)
+                               temb_dim=nf * 4, dtype=dtype, name=name)
       elif resblock_type == "biggan":
         return ResnetBlockBigGAN(act=act, out_ch=out_ch, up=up, down=down,
                                  dropout=dropout, fir=fir,
                                  fir_kernel=fir_kernel,
                                  init_scale=init_scale,
                                  skip_rescale=skip_rescale,
-                                 temb_dim=nf * 4, name=name)
+                                 temb_dim=nf * 4, dtype=dtype, name=name)
       raise ValueError(f"resblock type {resblock_type} unrecognized.")
 
     def attn_block(name=None):
       return layerspp.AttnBlockpp(init_scale=init_scale,
-                                  skip_rescale=skip_rescale, name=name)
+                                  skip_rescale=skip_rescale, dtype=dtype,
+                                  name=name)
 
     # --- time embedding (reference ncsnpp.py:232-258) ---
     if embedding_type == "fourier":
@@ -111,7 +116,7 @@ class NCSNpp(nn.Module):
     # --- downsampling trunk (reference ncsnpp.py:260-296) ---
     input_pyramid = x if progressive_input != "none" else None
 
-    hs = [conv3x3(nf, name="conv_in")(x)]
+    hs = [conv3x3(nf, dtype=dtype, name="conv_in")(x)]
     for i_level in range(num_resolutions):
       for i_block in range(num_res_blocks):
         h = resnet_block(out_ch=nf * ch_mult[i_level],
@@ -124,7 +129,7 @@ class NCSNpp(nn.Module):
       if i_level != num_resolutions - 1:
         if resblock_type == "ddpm":
           h = layerspp.Downsample(with_conv=resamp_with_conv, fir=fir,
-                                  fir_kernel=fir_kernel,
+                                  fir_kernel=fir_kernel, dtype=dtype,
                                   name=f"down_{i_level}_downsample")(hs[-1])
         else:
           h = resnet_block(down=True, name=f"down_{i_level}_downsample")(
@@ -134,13 +139,14 @@ class NCSNpp(nn.Module):
           input_pyramid = layerspp.Downsample(
               fir=fir, fir_kernel=fir_kernel, with_conv=False,
               name=f"pyramid_downsample_{i_level}")(input_pyramid)
-          h = Combine(dim2=h.shape[-1], method=combine_method,
+          h = Combine(dim2=h.shape[-1], method=combine_method, dtype=dtype,
                       name=f"combine_{i_level}")(input_pyramid, h)
         elif progressive_input == "residual":
           input_pyramid = layerspp.Downsample(
               out_ch=h.shape[-1], fir=fir, fir_kernel=fir_kernel,
-              with_conv=True,
+              with_conv=True, dtype=dtype,
               name=f"pyramid_downsample_{i_level}")(input_pyramid)
+          input_pyramid = input_pyramid.astype(h.dtype)
           if skip_rescale:
             input_pyramid = (input_pyramid + h) / np.sqrt(2.0)
           else:
@@ -195,8 +201,9 @@ class NCSNpp(nn.Module):
           elif progressive == "residual":
             pyramid = layerspp.Upsample(
                 out_ch=h.shape[-1], fir=fir, fir_kernel=fir_kernel,
-                with_conv=True,
+                with_conv=True, dtype=dtype,
                 name=f"pyramid_upsample_{i_level}")(pyramid)
+            pyramid = pyramid.astype(h.dtype)
             if skip_rescale:
               pyramid = (pyramid + h) / np.sqrt(2.0)
             else:
@@ -208,7 +215,7 @@ class NCSNpp(nn.Module):
       if i_level != 0:
         if resblock_type == "ddpm":
           h = layerspp.Upsample(with_conv=resamp_with_conv, fir=fir,
-                                fir_kernel=fir_kernel,
+                                fir_kernel=fir_kernel, dtype=dtype,
                                 name=f"up_{i_level}_upsample")(h)
         else:
           h = resnet_block(up=True, name=f"up_{i_level}_upsample")(
@@ -223,6 +230,7 @@ class NCSNpp(nn.Module):
                            epsilon=1e-6, name="norm_out")(h))
       h = conv3x3(x.shape[-1], init_scale=init_scale, name="conv_out")(h)
 
+    h = h.astype(jnp.float32)
     if config.model.scale_by_sigma:
       used_sigmas = used_sigmas.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
       h = h / used_sigmas

@@ -220,3 +220,26 @@ def test_fourier_projection_param_not_trained():
   g = jax.grad(loss)(variables["params"])
   w_grad = g["FourierProj"]["W"]
   np.testing.assert_allclose(np.asarray(w_grad), 0.0)
+
+
+def test_ncsnpp_bfloat16_compute():
+  """bf16 compute path: fp32 params, finite output, close to fp32 result."""
+  cfg32 = tiny_config()
+  cfg16 = tiny_config()
+  cfg16.model.dtype = "bfloat16"
+  rng = jax.random.PRNGKey(0)
+  model32, vars32 = mutils.create_model(cfg32, rng)
+  model16, vars16 = mutils.create_model(cfg16, rng)
+  # identical params (same init rng, dtype only affects compute)
+  for a, b in zip(jax.tree.leaves(vars32["params"]),
+                  jax.tree.leaves(vars16["params"])):
+    assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  t = jnp.full((2,), 0.5)
+  o32 = model32.apply(vars32, x, t, train=False)
+  o16 = model16.apply(vars16, x, t, train=False)
+  assert o16.dtype == jnp.float32  # output cast back
+  assert np.isfinite(np.asarray(o16)).all()
+  denom = np.abs(np.asarray(o32)).mean() + 1e-8
+  assert np.abs(np.asarray(o16) - np.asarray(o32)).mean() / denom < 0.2
