@@ -63,6 +63,16 @@ class NCSNpp(nn.Module):
     assert embedding_type in ["fourier", "positional"]
 
     deterministic = not train
+    # Rematerialization: recompute block activations in the backward pass
+    # instead of storing them (jax.checkpoint) — required for the 256/1024px
+    # configs' memory footprint (SURVEY.md §7 "1024px memory").
+    use_remat = bool(config.model.get("remat", False))
+
+    def block_call(block, x, temb):
+      return block(x, temb, deterministic=deterministic)
+
+    if use_remat:
+      block_call = nn.remat(block_call, prevent_cse=False)
 
     def resnet_block(*, out_ch=None, up=False, down=False, name=None):
       if resblock_type == "ddpm":
@@ -119,9 +129,9 @@ class NCSNpp(nn.Module):
     hs = [conv3x3(nf, dtype=dtype, name="conv_in")(x)]
     for i_level in range(num_resolutions):
       for i_block in range(num_res_blocks):
-        h = resnet_block(out_ch=nf * ch_mult[i_level],
-                         name=f"down_{i_level}_block_{i_block}")(
-            hs[-1], temb, deterministic=deterministic)
+        h = block_call(resnet_block(out_ch=nf * ch_mult[i_level],
+                                    name=f"down_{i_level}_block_{i_block}"),
+                       hs[-1], temb)
         if h.shape[1] in attn_resolutions:
           h = attn_block(name=f"down_{i_level}_attn_{i_block}")(h)
         hs.append(h)
@@ -132,8 +142,9 @@ class NCSNpp(nn.Module):
                                   fir_kernel=fir_kernel, dtype=dtype,
                                   name=f"down_{i_level}_downsample")(hs[-1])
         else:
-          h = resnet_block(down=True, name=f"down_{i_level}_downsample")(
-              hs[-1], temb, deterministic=deterministic)
+          h = block_call(
+              resnet_block(down=True, name=f"down_{i_level}_downsample"),
+              hs[-1], temb)
 
         if progressive_input == "input_skip":
           input_pyramid = layerspp.Downsample(
@@ -156,18 +167,17 @@ class NCSNpp(nn.Module):
 
     # --- bottleneck (reference ncsnpp.py:298-304) ---
     h = hs[-1]
-    h = resnet_block(name="mid_block_0")(h, temb, deterministic=deterministic)
+    h = block_call(resnet_block(name="mid_block_0"), h, temb)
     h = attn_block(name="mid_attn")(h)
-    h = resnet_block(name="mid_block_1")(h, temb, deterministic=deterministic)
+    h = block_call(resnet_block(name="mid_block_1"), h, temb)
 
     # --- upsampling trunk with progressive output (reference ncsnpp.py:306-366) ---
     pyramid = None
     for i_level in reversed(range(num_resolutions)):
       for i_block in range(num_res_blocks + 1):
-        h = resnet_block(out_ch=nf * ch_mult[i_level],
-                         name=f"up_{i_level}_block_{i_block}")(
-            jnp.concatenate([h, hs.pop()], axis=-1), temb,
-            deterministic=deterministic)
+        h = block_call(resnet_block(out_ch=nf * ch_mult[i_level],
+                                    name=f"up_{i_level}_block_{i_block}"),
+                       jnp.concatenate([h, hs.pop()], axis=-1), temb)
 
       if h.shape[1] in attn_resolutions:
         h = attn_block(name=f"up_{i_level}_attn")(h)
@@ -218,8 +228,8 @@ class NCSNpp(nn.Module):
                                 fir_kernel=fir_kernel, dtype=dtype,
                                 name=f"up_{i_level}_upsample")(h)
         else:
-          h = resnet_block(up=True, name=f"up_{i_level}_upsample")(
-              h, temb, deterministic=deterministic)
+          h = block_call(
+              resnet_block(up=True, name=f"up_{i_level}_upsample"), h, temb)
 
     assert not hs
 

@@ -243,3 +243,31 @@ def test_ncsnpp_bfloat16_compute():
   assert np.isfinite(np.asarray(o16)).all()
   denom = np.abs(np.asarray(o32)).mean() + 1e-8
   assert np.abs(np.asarray(o16) - np.asarray(o32)).mean() / denom < 0.2
+
+
+def test_ncsnpp_remat_matches_no_remat():
+  """remat recomputes instead of storing — results must be identical."""
+  cfg = tiny_config()
+  cfg_r = tiny_config()
+  cfg_r.model.remat = True
+  rng = jax.random.PRNGKey(0)
+  m0, v0 = mutils.create_model(cfg, rng)
+  m1, v1 = mutils.create_model(cfg_r, rng)
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  t = jnp.full((2,), 0.5)
+  o0 = m0.apply(v0, x, t, train=False)
+  o1 = m1.apply(v1, x, t, train=False)
+  np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-5,
+                             atol=1e-6)
+
+  def loss0(p):
+    return jnp.sum(m0.apply({"params": p}, x, t, train=False) ** 2)
+
+  def loss1(p):
+    return jnp.sum(m1.apply({"params": p}, x, t, train=False) ** 2)
+
+  g0 = jax.grad(loss0)(v0["params"])
+  g1 = jax.grad(loss1)(v1["params"])
+  for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-6)

@@ -96,7 +96,7 @@ VE_LSUN_NCSNPP = m(NCSNPP, scale_by_sigma=True, ema_rate=0.999,
                    ch_mult="(1, 1, 2, 2, 2, 2, 2)", num_res_blocks=2,
                    fir=True, progressive="'output_skip'",
                    progressive_input="'input_skip'", init_scale="0.",
-                   fourier_scale=16)
+                   fourier_scale=16, remat=True)
 
 add("ve/bedroom_ncsnpp_continuous.py", "lsun",
     "configs/ve/bedroom_ncsnpp_continuous.py",
@@ -131,7 +131,7 @@ VE_1024 = m(NCSNPP, scale_by_sigma=True, sigma_max=1348, num_scales=2000,
             ch_mult="(1, 2, 4, 8, 16, 32, 32, 32)", num_res_blocks=1,
             dropout="0.", fir=True, progressive="'output_skip'",
             progressive_input="'input_skip'", init_scale="0.",
-            fourier_scale=16, embedding_type="'fourier'")
+            fourier_scale=16, embedding_type="'fourier'", remat=True)
 
 add("ve/celebahq_ncsnpp_continuous.py", "lsun",
     "configs/ve/celebahq_ncsnpp_continuous.py",
