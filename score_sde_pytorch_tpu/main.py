@@ -22,10 +22,17 @@ flags.DEFINE_enum("mode", None, ["train", "eval"],
                   "Running mode: train or eval")
 flags.DEFINE_string("eval_folder", "eval",
                     "The folder name for storing evaluation results")
+flags.DEFINE_bool("multihost", False,
+                  "Initialize jax.distributed (multi-host TPU pods; "
+                  "coordinator discovered from the TPU environment).")
 flags.mark_flags_as_required(["workdir", "config", "mode"])
 
 
 def main(argv):
+  if FLAGS.multihost:
+    import jax
+    jax.distributed.initialize()
+
   from score_sde_pytorch_tpu import run_lib
 
   os.makedirs(FLAGS.workdir, exist_ok=True)

@@ -14,7 +14,9 @@ class NativeDataLoader:
   """Infinite float32 [0,1] NHWC batch iterator backed by C++ worker threads.
 
   Semantics match `datasets.DatasetIterator` (shuffle per epoch, drop
-  remainder, optional flip / uniform dequantization).
+  remainder, optional flip / uniform dequantization), except that with
+  ``nthreads > 1`` batch delivery order may interleave slightly across epoch
+  boundaries (as with parallel tf.data pipelines).
   """
 
   def __init__(self, images: np.ndarray, batch_size: int, *,

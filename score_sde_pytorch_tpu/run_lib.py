@@ -39,7 +39,12 @@ def _writer(workdir: str):
 
 
 def train(config, workdir: str) -> None:
-  """Train loop (reference run_lib.py:47-172)."""
+  """Train loop (reference run_lib.py:47-172).
+
+  Multi-host: every process runs the jitted steps over the global mesh;
+  checkpoint writes, TensorBoard, and sample grids happen on host 0 only.
+  """
+  is_host0 = jax.process_index() == 0
   os.makedirs(workdir, exist_ok=True)
   writer = _writer(workdir)
   sample_dir = os.path.join(workdir, "samples")
@@ -130,7 +135,8 @@ def train(config, workdir: str) -> None:
 
     # Rolling preemption checkpoint (run_lib.py:136-138)
     if (step != 0
-        and step % config.training.snapshot_freq_for_preemption < n_jitted):
+        and step % config.training.snapshot_freq_for_preemption < n_jitted
+        and is_host0):
       ckpt_mgr.save_meta(state)
 
     # Periodic eval (run_lib.py:141-147)
@@ -143,9 +149,10 @@ def train(config, workdir: str) -> None:
     # Numbered snapshot + sample grid (run_lib.py:150-172)
     if step % config.training.snapshot_freq < n_jitted or step >= num_train_steps:
       save_step = step // config.training.snapshot_freq
-      ckpt_mgr.save_numbered(state, save_step)
+      if is_host0:
+        ckpt_mgr.save_numbered(state, save_step)
 
-      if config.training.snapshot_sampling:
+      if config.training.snapshot_sampling and is_host0:
         rng, sample_rng = jax.random.split(rng)
         samples, _ = sampling_fn(sample_rng, state.ema.params)
         this_dir = os.path.join(sample_dir, f"iter_{step}")

@@ -162,3 +162,51 @@ def test_fused_leaky_relu_pallas_interpret_matches():
   ref = ops.fused_leaky_relu(x, b)
   got = fused_leaky_relu_pallas(x, b, interpret=True)
   np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused separable upfirdn2d vs the XLA reference path
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("up,down,pad", [
+    (2, 1, (2, 1)),     # upsample_2d(k4, factor 2)
+    (1, 2, (1, 1)),     # downsample_2d(k4, factor 2)
+    (1, 1, (3, 2)),     # post-conv FIR (upsample_conv_2d tail)
+    (2, 1, (3, 1)),
+    (1, 1, (0, 0)),
+])
+def test_upfirdn2d_pallas_matches_xla(up, down, pad):
+  from score_sde_pytorch_tpu.ops.upfirdn2d_pallas import upfirdn2d_auto
+  import jax.numpy as jnp
+  x = jnp.asarray(_x(2, 8, 8, 4))
+  k1d = np.array([1., 3., 3., 1.]) / 8.0
+  want = ops.upfirdn2d(x, jnp.asarray(k1d), up=up, down=down, pad=pad)
+  got = upfirdn2d_auto(x, k1d, up=up, down=down, pad=pad, interpret=True)
+  assert got.shape == want.shape
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-4, atol=1e-5)
+
+
+def test_upfirdn2d_pallas_k2_kernel():
+  from score_sde_pytorch_tpu.ops.upfirdn2d_pallas import upfirdn2d_auto
+  import jax.numpy as jnp
+  x = jnp.asarray(_x(1, 6, 6, 2))
+  k1d = np.array([1., 1.]) / 2.0
+  want = ops.upfirdn2d(x, jnp.asarray(k1d), up=2, down=1, pad=(1, 0))
+  got = upfirdn2d_auto(x, k1d, up=2, down=1, pad=(1, 0), interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-4, atol=1e-5)
+
+
+def test_upfirdn2d_pallas_fallback_2d_kernel():
+  """Non-separable kernels route to the XLA path."""
+  from score_sde_pytorch_tpu.ops.upfirdn2d_pallas import (
+      pallas_eligible, upfirdn2d_auto)
+  import jax.numpy as jnp
+  x = jnp.asarray(_x(1, 6, 6, 2))
+  k2 = np.outer([1., 2.], [1., 3.])
+  k2 = k2 / k2.sum()
+  assert not pallas_eligible(x, k2, 1, 1)
+  got = upfirdn2d_auto(x, k2, up=1, down=1, pad=(1, 0))
+  want = ops.upfirdn2d(x, jnp.asarray(k2), up=1, down=1, pad=(1, 0))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
