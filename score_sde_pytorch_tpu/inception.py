@@ -292,10 +292,24 @@ def random_params(seed: int = 0) -> Dict[str, jnp.ndarray]:
 
 
 class InceptionV3Features:
-  """Callable: uint8 NHWC images → dict(pool_3, logits)."""
+  """Callable: uint8 NHWC images → dict(pool_3, logits).
 
-  def __init__(self, npz_path: str, batch: int = 64):
+  Feature extraction is data-parallel over all local devices when more than
+  one is available (the TPU-native analogue of the reference's per-device
+  tf.device Inception sharding, evaluation.py:107-146) — the jit below is
+  given a batch-sharded input so XLA SPMD splits the work.
+  """
+
+  def __init__(self, npz_path: str, batch: int = 64, shard: bool = True):
     self.params = load_params(npz_path)
+    n_dev = jax.local_device_count()
+    if shard and n_dev > 1:
+      batch = max(batch, n_dev) // n_dev * n_dev
+      from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+      mesh = Mesh(np.array(jax.local_devices()), ("data",))
+      self._in_sharding = NamedSharding(mesh, P("data"))
+    else:
+      self._in_sharding = None
     self.batch = batch
 
     @jax.jit
@@ -321,7 +335,9 @@ class InceptionV3Features:
       if pad:
         chunk = np.concatenate(
             [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-      pool, lg = self._run(self.params, jnp.asarray(chunk))
+      device_chunk = (jax.device_put(chunk, self._in_sharding)
+                      if self._in_sharding is not None else jnp.asarray(chunk))
+      pool, lg = self._run(self.params, device_chunk)
       pools.append(np.asarray(pool)[:bs - pad if pad else bs])
       if lg is not None:
         logits.append(np.asarray(lg)[:bs - pad if pad else bs])

@@ -24,7 +24,11 @@ import numpy as np
 
 Array = jax.Array
 
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+# Scoped VMEM is ~16MB/core on v5e; the trace-time unrolled taps allocate
+# several block-sized temporaries (padded input, per-phase accumulators,
+# interleave stack), empirically ~6x (in+out). Stay well under the limit.
+_VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+_TEMP_FACTOR = 6
 
 
 def _phase_taps(k: Sequence[float], up: int, down: int,
@@ -157,7 +161,7 @@ def pallas_eligible(x: Array, k, up: int, down: int) -> bool:
   out_bytes = (_out_len(h, up, down, (len(k),) * 2, len(k)) + len(k)) * \
       (_out_len(w, up, down, (len(k),) * 2, len(k)) + len(k)) * c * \
       x.dtype.itemsize
-  return (in_bytes + 2 * out_bytes) < _VMEM_BUDGET_BYTES
+  return _TEMP_FACTOR * (in_bytes + out_bytes) < _VMEM_LIMIT_BYTES
 
 
 def upfirdn2d_auto(x: Array, kernel, up: int = 1, down: int = 1,

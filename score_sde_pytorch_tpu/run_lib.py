@@ -244,7 +244,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_sampling:
       num_rounds = (config.eval.num_samples - 1) // config.eval.batch_size + 1
-      all_pools = []
+      all_pools, all_logits = [], []
       for r in range(num_rounds):
         rng, sample_rng = jax.random.split(rng)
         samples, _ = sampling_fn(sample_rng, ema_params)
@@ -253,15 +253,18 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         np.savez_compressed(
             os.path.join(eval_dir, f"ckpt_{ckpt}_samples_{r}.npz"),
             samples=samples_u8)
-        stats = evaluation.run_inception(samples_u8)
+        stats = evaluation.run_inception(samples_u8, config)
         if stats is not None:
           np.savez_compressed(
               os.path.join(eval_dir, f"ckpt_{ckpt}_statistics_{r}.npz"),
               **stats)
           all_pools.append(stats["pool_3"])
+          if "logits" in stats:
+            all_logits.append(stats["logits"])
       if all_pools:
         scores = evaluation.compute_scores(
-            np.concatenate(all_pools), config)
+            np.concatenate(all_pools), config,
+            logits=np.concatenate(all_logits) if all_logits else None)
         np.savez_compressed(
             os.path.join(eval_dir, f"report_{ckpt}.npz"), **scores)
         logging.info("ckpt %d: %s", ckpt, scores)

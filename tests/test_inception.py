@@ -59,3 +59,32 @@ def test_load_params_roundtrip(tmp_path):
   assert p["Conv2d_1a_3x3.conv.weight"].shape == (3, 3, 3, 32)
   assert p["fc.weight"].shape == (2048, 1008)
   assert "Conv2d_1a_3x3.scale" in p
+
+
+def test_features_class_with_random_weights_sharded(tmp_path):
+  """End-to-end InceptionV3Features on the 8-device CPU mesh."""
+  import jax
+  import numpy as np
+  from score_sde_pytorch_tpu import inception
+
+  # Serialize random params to an npz in the loadable (torch-layout) format.
+  rng = np.random.default_rng(0)
+  raw = {}
+  for name, kh, kw, cin, cout in inception.weight_spec():
+    raw[f"{name}.conv.weight"] = rng.normal(
+        0, 1 / np.sqrt(kh * kw * cin), (cout, cin, kh, kw)).astype(np.float32)
+    raw[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+    raw[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+  raw["fc.weight"] = rng.normal(0, 0.02, (1008, 2048)).astype(np.float32)
+  raw["fc.bias"] = np.zeros(1008, np.float32)
+  path = tmp_path / "w.npz"
+  np.savez(path, **raw)
+
+  model = inception.InceptionV3Features(str(path), batch=8)
+  imgs = rng.integers(0, 256, (10, 32, 32, 3), dtype=np.int64).astype(np.uint8)
+  out = model(imgs)
+  assert out["pool_3"].shape == (10, 2048)
+  assert out["logits"].shape == (10, 1008)
+  assert np.isfinite(out["pool_3"]).all()
