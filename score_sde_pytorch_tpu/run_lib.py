@@ -191,8 +191,13 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
   if config.eval.enable_bpd:
     likelihood_fn = likelihood_lib.get_likelihood_fn(sde, model_def,
                                                      inverse_scaler)
-    _, bpd_iter = datasets.get_dataset(config, evaluation=True,
-                                       uniform_dequantization=True)
+    # bpd over train or test split; test set repeated 5x for tighter CIs
+    # (reference run_lib.py:236-242).
+    bpd_train_iter, bpd_test_iter = datasets.get_dataset(
+        config, evaluation=True, uniform_dequantization=True)
+    bpd_iter = (bpd_train_iter if config.eval.bpd_dataset.lower() == "train"
+                else bpd_test_iter)
+    bpd_num_repeats = (5 if config.eval.bpd_dataset.lower() == "test" else 1)
 
   if config.eval.enable_sampling:
     sampling_shape = (config.eval.batch_size, config.data.image_size,
@@ -231,8 +236,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_bpd:
       bpds = []
-      n_batches = max(1, 2048 // config.eval.batch_size)
-      for repeat in range(len(range(n_batches))):
+      n_batches = max(1, 2048 // config.eval.batch_size) * bpd_num_repeats
+      for _ in range(n_batches):
         batch = jnp.asarray(scaler(next(bpd_iter)))
         rng, bpd_rng = jax.random.split(rng)
         bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
