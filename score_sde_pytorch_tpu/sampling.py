@@ -304,9 +304,57 @@ def get_ode_sampler(sde, model_def, shape, inverse_scaler,
   return ode_sampler
 
 
+def get_heun_sampler(sde, model_def, shape, inverse_scaler,
+                     n_steps: int = 50, denoise: bool = True,
+                     continuous: bool = True, eps: float = 1e-3):
+  """Deterministic 2nd-order Heun probability-flow sampler.
+
+  Beyond-reference extension (cf. EDM / UniPC-style fast samplers,
+  PAPERS.md): integrates the probability-flow ODE with Heun's method on a
+  fixed time grid — 2 NFE per step, typically matching 1000-step EM quality
+  at ~50 steps. One jitted `lax.scan`.
+  """
+
+  @jax.jit
+  def heun_sampler(rng, params):
+    score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
+                                   continuous=continuous)
+    rsde = sde.reverse(score_fn, probability_flow=True)
+
+    def drift(x, t):
+      return rsde.sde(x, t)[0]
+
+    rng, prior_rng = jax.random.split(rng)
+    x = sde.prior_sampling(prior_rng, shape)
+    ts = jnp.linspace(sde.T, eps, n_steps + 1)
+
+    def step(x, idx):
+      t0, t1 = ts[idx], ts[idx + 1]
+      dt = t1 - t0
+      vt0 = jnp.full((shape[0],), t0)
+      vt1 = jnp.full((shape[0],), t1)
+      d0 = drift(x, vt0)
+      x_euler = x + dt * d0
+      d1 = drift(x_euler, vt1)
+      return x + dt * 0.5 * (d0 + d1), None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(n_steps))
+    nfe = 2 * n_steps
+    if denoise:
+      # final Tweedie-style denoise at eps: x + std^2 * score
+      t = jnp.full((shape[0],), eps)
+      _, std = sde.marginal_prob(jnp.zeros_like(x), t)
+      x = x + batch_mul(std ** 2, score_fn(x, t))
+      nfe += 1
+    return inverse_scaler(x), nfe
+
+  return heun_sampler
+
+
 def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
                     eps: float = 1e-3):
-  """Dispatcher on config.sampling.method (reference sampling.py:80-123).
+  """Dispatcher on config.sampling.method (reference sampling.py:80-123,
+  plus the TPU-native 'heun' fast sampler).
 
   Returns ``sampling_fn(rng, params) -> (samples, nfe)``.
   """
@@ -314,6 +362,12 @@ def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
   if sampler_name.lower() == "ode":
     return get_ode_sampler(sde, model_def, shape, inverse_scaler,
                            denoise=config.sampling.noise_removal, eps=eps)
+  elif sampler_name.lower() == "heun":
+    return get_heun_sampler(
+        sde, model_def, shape, inverse_scaler,
+        n_steps=config.sampling.get("heun_steps", 50),
+        denoise=config.sampling.noise_removal,
+        continuous=config.training.continuous, eps=eps)
   elif sampler_name.lower() == "pc":
     predictor = get_predictor(config.sampling.predictor.lower())
     corrector = get_corrector(config.sampling.corrector.lower())
