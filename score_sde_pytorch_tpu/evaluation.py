@@ -169,6 +169,30 @@ def run_inception(images_u8: np.ndarray, config=None) -> Optional[Dict]:
   return model(images_u8)
 
 
+def get_inception_model(inceptionv3: bool = False, config=None):
+  """Reference-API alias (evaluation.py:35-40): returns the feature
+  extractor or None when weights are unavailable. The ``inceptionv3`` flag
+  is accepted for signature parity — this build always uses the FID
+  InceptionV3 graph (the reference's default frozen graph is the same
+  2015 network)."""
+  path = get_inception_weights_path(config)
+  if path is None:
+    return None
+  from score_sde_pytorch_tpu.inception import InceptionV3Features
+  if path not in _INCEPTION_CACHE:
+    _INCEPTION_CACHE[path] = InceptionV3Features(path)
+  return _INCEPTION_CACHE[path]
+
+
+def run_inception_distributed(images_u8: np.ndarray, model=None,
+                              config=None) -> Optional[Dict]:
+  """Reference-API alias (evaluation.py:107-146). Device distribution is
+  handled inside the extractor via batch sharding over the local mesh."""
+  if model is not None:
+    return model(images_u8)
+  return run_inception(images_u8, config)
+
+
 def load_dataset_stats(config) -> Dict:
   """Load pre-computed dataset stats npz (reference evaluation.py:43-56)."""
   data_name = config.data.dataset.lower()
