@@ -128,3 +128,15 @@ def test_deterministic_given_seed():
   it1 = datasets.DatasetIterator(imgs, 4, seed=7, prefetch=False)
   it2 = datasets.DatasetIterator(imgs, 4, seed=7, prefetch=False)
   np.testing.assert_array_equal(next(it1), next(it2))
+
+
+def test_make_grid_and_save_image(tmp_path):
+  from score_sde_pytorch_tpu.utils.image import make_grid, save_image
+  imgs = np.random.default_rng(0).random((6, 8, 8, 3)).astype(np.float32)
+  grid = make_grid(imgs, nrow=3, padding=1)
+  assert grid.shape == (2 * 9 + 1, 3 * 9 + 1, 3)
+  path = tmp_path / "grid.png"
+  save_image(grid, str(path))
+  from PIL import Image
+  loaded = np.asarray(Image.open(path))
+  assert loaded.shape == (19, 28, 3)
