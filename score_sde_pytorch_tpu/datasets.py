@@ -240,6 +240,7 @@ class DatasetIterator:
     self.uniform_dequantization = uniform_dequantization
     self.shuffle = shuffle
     self.seed = seed
+    self.batches_per_epoch = images.shape[0] // batch_size
     src = self._batches
     self._it = _Prefetcher(src) if prefetch else src()
 

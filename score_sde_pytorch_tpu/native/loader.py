@@ -31,6 +31,7 @@ class NativeDataLoader:
     self._images = np.ascontiguousarray(images)  # keep alive
     n, h, w, c = images.shape
     self.batch_shape = (batch_size, h, w, c)
+    self.batches_per_epoch = n // batch_size
     flags = ((FLAG_SHUFFLE if shuffle else 0)
              | (FLAG_FLIP if random_flip else 0)
              | (FLAG_DEQUANT if uniform_dequantization else 0))

@@ -222,7 +222,9 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_loss:
       all_losses = []
-      n_batches = max(1, 10000 // config.eval.batch_size)
+      # one full pass over the eval split (reference run_lib.py:286-303)
+      n_batches = max(1, getattr(eval_iter, "batches_per_epoch",
+                                 10000 // config.eval.batch_size))
       for _ in range(n_batches):
         batch = jnp.asarray(scaler(next(eval_iter)))
         state, loss = eval_step(state, batch)
@@ -236,7 +238,9 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_bpd:
       bpds = []
-      n_batches = max(1, 2048 // config.eval.batch_size) * bpd_num_repeats
+      n_batches = max(1, getattr(bpd_iter, "batches_per_epoch",
+                                 2048 // config.eval.batch_size)) \
+          * bpd_num_repeats
       for _ in range(n_batches):
         batch = jnp.asarray(scaler(next(bpd_iter)))
         rng, bpd_rng = jax.random.split(rng)
