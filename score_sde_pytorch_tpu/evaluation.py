@@ -61,16 +61,30 @@ def sqrtm_newton_schulz(a: Array, num_iters: int = 50) -> Array:
 @jax.jit
 def frechet_distance(mu1: Array, sigma1: Array, mu2: Array,
                      sigma2: Array) -> Array:
-  """FID: ‖mu1−mu2‖² + tr(S1 + S2 − 2(S1 S2)^{1/2})."""
+  """FID: ‖mu1−mu2‖² + tr(S1 + S2 − 2(S1 S2)^{1/2}).
+
+  tr((S1 S2)^{1/2}) is computed via the symmetric form
+  tr((S1^{1/2} S2 S1^{1/2})^{1/2}) so Newton–Schulz only ever sees PSD
+  matrices — the raw product S1@S2 is non-symmetric and NS diverges on it
+  when a covariance is rank-deficient (small sample counts)."""
   diff = mu1 - mu2
-  eps = 1e-6
   dim = sigma1.shape[0]
-  offset = jnp.eye(dim, dtype=sigma1.dtype) * eps
-  s1 = sigma1 + offset
-  s2 = sigma2 + offset
-  covmean = sqrtm_newton_schulz(s1 @ s2)
+  # Trace-relative regularization keeps rank-deficient covariances PSD>0.
+  eps1 = 1e-6 * jnp.maximum(1.0, jnp.trace(sigma1) / dim)
+  eps2 = 1e-6 * jnp.maximum(1.0, jnp.trace(sigma2) / dim)
+  eye = jnp.eye(dim, dtype=sigma1.dtype)
+  s1 = sigma1 + eye * eps1
+  s2 = sigma2 + eye * eps2
+  # root1 via eigh (Newton–Schulz diverges in fp32 on the condition numbers
+  # rank-deficient sample covariances produce).
+  w1, v1 = jnp.linalg.eigh(s1)
+  root1 = (v1 * jnp.sqrt(jnp.maximum(w1, 0.0))) @ v1.T
+  inner = root1 @ s2 @ root1
+  inner = 0.5 * (inner + inner.T)  # clean numerical asymmetry
+  w = jnp.linalg.eigvalsh(inner)
+  tr_covmean = jnp.sum(jnp.sqrt(jnp.maximum(w, 0.0)))
   return (jnp.dot(diff, diff) + jnp.trace(s1) + jnp.trace(s2)
-          - 2.0 * jnp.trace(covmean))
+          - 2.0 * tr_covmean)
 
 
 def fid_from_activations(act1: Array, act2: Array) -> float:

@@ -81,3 +81,55 @@ def test_evaluate_pipeline_loss_stage(workdir):
   assert out
   with np.load(out[0]) as z:
     assert np.isfinite(z["mean_loss"])
+
+
+def test_evaluate_sampling_stage_with_fake_inception(tmp_path, monkeypatch):
+  """Full eval sampling stage: sample → Inception features → FID/IS/KID
+  report, using random Inception weights and self-derived dataset stats."""
+  import jax
+  import numpy as np
+  from score_sde_pytorch_tpu import inception, run_lib
+
+  # Random (but architecture-correct) Inception weights npz.
+  rng = np.random.default_rng(0)
+  raw = {}
+  for name, kh, kw, cin, cout in inception.weight_spec():
+    raw[f"{name}.conv.weight"] = rng.normal(
+        0, 1 / np.sqrt(kh * kw * cin), (cout, cin, kh, kw)).astype(np.float32)
+    raw[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+    raw[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+  raw["fc.weight"] = rng.normal(0, 0.02, (1008, 2048)).astype(np.float32)
+  raw["fc.bias"] = np.zeros(1008, np.float32)
+  wpath = tmp_path / "incep.npz"
+  np.savez(wpath, **raw)
+  monkeypatch.setenv("INCEPTION_WEIGHTS_NPZ", str(wpath))
+
+  # Dataset stats from random features (cifar10_16 to match tiny config).
+  stats_dir = tmp_path / "assets" / "stats"
+  stats_dir.mkdir(parents=True)
+  feats = rng.normal(size=(256, 2048)).astype(np.float32)
+  np.savez(stats_dir / "cifar10_16_stats.npz",
+           mu=feats.mean(0), sigma=np.cov(feats, rowvar=False))
+  monkeypatch.chdir(tmp_path)
+
+  workdir = str(tmp_path / "wd")
+  cfg = _pipeline_config()
+  cfg.training.n_iters = 5
+  cfg.training.snapshot_freq = 4
+  cfg.training.snapshot_sampling = False
+  cfg.eval.update({"enable_loss": False, "enable_bpd": False,
+                   "enable_sampling": True, "num_samples": 8,
+                   "begin_ckpt": 1, "end_ckpt": 1})
+  run_lib.train(cfg, workdir)
+  run_lib.evaluate(cfg, workdir, "eval")
+
+  import glob as globmod
+  report = globmod.glob(os.path.join(workdir, "eval", "report_1.npz"))
+  assert report, "no FID report written"
+  with np.load(report[0]) as z:
+    keys = set(z.keys())
+    assert "inception_score" in keys
+    assert "fid" in keys
+    assert np.isfinite(z["fid"])
