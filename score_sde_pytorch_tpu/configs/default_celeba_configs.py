@@ -1,6 +1,4 @@
 """Default CelebA-64 config (reference configs/default_celeba_configs.py)."""
-import ml_collections
-
 from score_sde_pytorch_tpu.configs.default_cifar10_configs import (
     get_default_configs as _cifar10_defaults)
 

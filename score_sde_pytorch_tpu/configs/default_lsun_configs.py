@@ -1,6 +1,4 @@
 """Default LSUN-256 config (reference configs/default_lsun_configs.py)."""
-import ml_collections
-
 from score_sde_pytorch_tpu.configs.default_cifar10_configs import (
     get_default_configs as _cifar10_defaults)
 

@@ -26,7 +26,7 @@ import os
 import pickle
 import queue
 import threading
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable
 
 import numpy as np
 

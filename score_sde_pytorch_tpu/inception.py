@@ -19,7 +19,6 @@ Architectural notes matching the FID weights exactly:
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

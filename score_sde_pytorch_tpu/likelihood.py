@@ -12,7 +12,7 @@ Rebuild of /root/reference/likelihood.py. Differences:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

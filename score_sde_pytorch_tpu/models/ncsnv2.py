@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from score_sde_pytorch_tpu.models import layers, utils
 from score_sde_pytorch_tpu.models.layers import (
     CondRefineBlock, ConditionalResidualBlock, NCSNConv, RefineBlock,
-    ResidualBlock, ncsn_conv3x3)
+    ResidualBlock)
 from score_sde_pytorch_tpu.models.normalization import get_normalization
 
 Array = jax.Array

@@ -6,8 +6,6 @@ over the spatial axes (1, 2) in NHWC.
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

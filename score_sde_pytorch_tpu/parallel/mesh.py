@@ -11,7 +11,7 @@ over all processes (`jax.distributed.initialize` at the pipeline layer).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import numpy as np

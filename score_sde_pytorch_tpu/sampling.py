@@ -14,9 +14,8 @@ Rebuild of /root/reference/sampling.py. Key TPU-native differences:
 """
 from __future__ import annotations
 
-import functools
 import math
-from typing import Any, Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
