@@ -26,6 +26,9 @@ def main():
       get_config)
 
   config = get_config()
+  # bf16 inference: the TPU-native serving precision (params stay fp32,
+  # norms/softmax fp32 — see models/layerspp.py). Training default is fp32.
+  config.model.dtype = "bfloat16"
   sde = sde_lib.build_sde(config)
 
   batch = 64
