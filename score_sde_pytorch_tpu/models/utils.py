@@ -137,3 +137,16 @@ def get_score_fn(sde: sde_lib.SDE, model_def, params, train: bool = False,
         f"SDE class {sde.__class__.__name__} not yet supported.")
 
   return score_fn
+
+
+def to_flattened_numpy(x) -> np.ndarray:
+  """Flatten an array to 1-D numpy (reference models/utils.py:181-183).
+
+  Kept for API parity; the on-device ODE path (score_sde_pytorch_tpu.ode)
+  makes the scipy host bridge these fed unnecessary."""
+  return np.asarray(x).reshape((-1,))
+
+
+def from_flattened_numpy(x: np.ndarray, shape) -> jnp.ndarray:
+  """Reshape a flat numpy vector to a device array (reference models/utils.py:186-188)."""
+  return jnp.asarray(x).reshape(shape)

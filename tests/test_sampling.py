@@ -238,3 +238,29 @@ def test_get_sampling_fn_dispatch_heun():
   assert samples.shape == (2, 16, 16, 3)
   assert int(nfe) == 2 * 4 + 1
   assert np.isfinite(np.asarray(samples)).all()
+
+
+@pytest.mark.parametrize("sde_name", ["vesde", "vpsde", "subvpsde"])
+@pytest.mark.parametrize("method", ["pc", "ode", "heun"])
+def test_sde_x_sampler_matrix_smoke(sde_name, method):
+  """E2E smoke of every SDE × sampler cell on a tiny model (SURVEY §4(e))."""
+  import ml_collections
+  from tests.test_models import tiny_config
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+
+  cfg = tiny_config(scale_by_sigma=(sde_name == "vesde"))
+  cfg.training.sde = sde_name
+  cfg.sampling = ml_collections.ConfigDict({
+      "method": method, "predictor": "euler_maruyama", "corrector": "none",
+      "snr": 0.16, "n_steps_each": 1, "probability_flow": False,
+      "noise_removal": method != "ode", "heun_steps": 3})
+  cfg.model.num_scales = 6
+  from score_sde_pytorch_tpu import sde as sdelib
+  sde = sdelib.build_sde(cfg)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  fn = sampling.get_sampling_fn(cfg, sde, model_def, (2, 16, 16, 3),
+                                lambda x: x)
+  samples, nfe = fn(jax.random.PRNGKey(1), variables["params"])
+  assert samples.shape == (2, 16, 16, 3)
+  assert np.isfinite(np.asarray(samples)).all()
