@@ -55,20 +55,24 @@ def main():
   for name, shape, up, down, pad in cases:
     x = jnp.asarray(np.random.default_rng(0).normal(size=shape)
                     .astype(np.float32))
+    # Per-iteration floor of the loop harness itself on this relay
+    # (measured ~2.6 ms on the axon tunnel): subtract from op timings.
+    floor = bench_op(lambda a: a * 1.000001, x)
+    print(f"{name}: harness floor {floor * 1e6:.1f}us", flush=True)
 
     def f_xla(a):
       return xla_up(a, jnp.asarray(np.array(k1d)), up=up, down=down, pad=pad)
 
-    t_xla = bench_op(f_xla, x)
-    line = f"{name}: XLA {t_xla * 1e6:.1f}us"
+    t_xla = max(bench_op(f_xla, x) - floor, 1e-9)
+    line = f"{name}: XLA {t_xla * 1e6:.1f}us (floor-corrected)"
     print(line, flush=True)
     if pallas_eligible(x, np.array(k1d), up, down):
       def f_pl(a):
         return upfirdn2d_pallas(a, k1d, up=up, down=down, pad=pad)
 
       try:
-        t_pl = bench_op(f_pl, x)
-        print(f"{name}: Pallas {t_pl * 1e6:.1f}us   "
+        t_pl = max(bench_op(f_pl, x) - floor, 1e-9)
+        print(f"{name}: Pallas {t_pl * 1e6:.1f}us (floor-corrected)   "
               f"ratio {t_xla / t_pl:.2f}x", flush=True)
       except NotImplementedError as e:
         # Mosaic currently rejects some rewrites when the kernel body is
