@@ -152,10 +152,13 @@ class AttnBlock(nn.Module):
     q = NIN(c, name="NIN_0")(hid)
     k = NIN(c, name="NIN_1")(hid)
     v = NIN(c, name="NIN_2")(hid)
-    logits = jnp.einsum("bhwc,bijc->bhwij", q, k) * (c ** -0.5)
-    logits = logits.reshape(b, h, w, h * w)
-    attn = jax.nn.softmax(logits, axis=-1).reshape(b, h, w, h, w)
-    out = jnp.einsum("bhwij,bijc->bhwc", attn, v)
+    # [B, HW, C] matmul formulation (MXU-tiled); identical math to the
+    # reference's bhwc,bijc->bhwij einsum.
+    n = h * w
+    qf, kf, vf = (z.reshape(b, n, c) for z in (q, k, v))
+    logits = jnp.einsum("bnc,bmc->bnm", qf, kf) * (c ** -0.5)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnm,bmc->bnc", attn, vf).reshape(b, h, w, c)
     out = NIN(c, init_scale=0.0, name="NIN_3")(out)
     return x + out
 

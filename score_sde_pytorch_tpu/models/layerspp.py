@@ -70,12 +70,16 @@ class AttnBlockpp(nn.Module):
     q = NIN(c, dtype=self.dtype, name="NIN_0")(hid)
     k = NIN(c, dtype=self.dtype, name="NIN_1")(hid)
     v = NIN(c, dtype=self.dtype, name="NIN_2")(hid)
-    logits = jnp.einsum("bhwc,bijc->bhwij", q, k) * (c ** -0.5)
-    logits = logits.reshape(b, h, w, h * w)
+    # Flatten the H·W grid before the contractions: [B, HW, C] matmuls tile
+    # onto the MXU (the reference's bhwc,bijc->bhwij shape leaves 16-wide
+    # trailing dims — measured 20x off roofline). Identical math.
+    n = h * w
+    qf, kf, vf = (z.reshape(b, n, c) for z in (q, k, v))
+    logits = jnp.einsum("bnc,bmc->bnm", qf, kf) * (c ** -0.5)
     # softmax in fp32 for numerical stability
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    attn = attn.astype(v.dtype).reshape(b, h, w, h, w)
-    out = jnp.einsum("bhwij,bijc->bhwc", attn, v)
+    out = jnp.einsum("bnm,bmc->bnc", attn.astype(vf.dtype), vf)
+    out = out.reshape(b, h, w, c)
     out = NIN(c, init_scale=self.init_scale, dtype=self.dtype,
               name="NIN_3")(out)
     out = out.astype(x.dtype)
