@@ -111,7 +111,7 @@ def _load_npz(data_dir: str, split: str) -> Array:
     return np.asarray(z[key], np.uint8)
 
 
-def _iter_folder(data_dir: str, resolution: int):
+def _iter_folder(data_dir: str, resolution: int, resize_op=None):
   from PIL import Image
   exts = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
   files = sorted(
@@ -120,11 +120,12 @@ def _iter_folder(data_dir: str, resolution: int):
       for f in fs if os.path.splitext(f)[1].lower() in exts)
   if not files:
     raise FileNotFoundError(f"No images under {data_dir}")
+  resize_op = resize_op or (lambda img: crop_resize(img, resolution))
 
   def gen():
     for path in files:
       img = np.asarray(Image.open(path).convert("RGB"))
-      yield crop_resize(img, resolution)
+      yield resize_op(img)
 
   return gen, len(files)
 
@@ -183,10 +184,19 @@ def load_raw_dataset(config, split: str):
   if name == "NPZ":
     return _load_npz(data_dir, split)
   if name in ("CELEBA", "LSUN", "FOLDER"):
+    # Per-dataset resize chains matching the reference (datasets.py:112-139):
+    # CELEBA: central_crop(140) then resize_small; LSUN@128: resize_small
+    # then central_crop; otherwise crop_resize.
+    if name == "CELEBA":
+      resize_op = lambda img: resize_small(central_crop(img, 140), size)
+    elif name == "LSUN" and size == 128:
+      resize_op = lambda img: central_crop(resize_small(img, size), size)
+    else:
+      resize_op = lambda img: crop_resize(img, size)
     gen, _ = _iter_folder(os.path.join(data_dir, split)
                           if os.path.isdir(os.path.join(data_dir, split))
-                          else data_dir, size)
-    return np.stack(list(gen()))  # materialize; LSUN-scale should use FOLDER_STREAM
+                          else data_dir, size, resize_op)
+    return np.stack(list(gen()))  # in-memory; streaming is a future option
   if name in ("FFHQ", "CELEBAHQ"):
     gen, _ = _iter_tfrecords(data_dir, size)
     return np.stack(list(gen()))

@@ -25,10 +25,16 @@ flags.DEFINE_string("eval_folder", "eval",
 flags.DEFINE_bool("multihost", False,
                   "Initialize jax.distributed (multi-host TPU pods; "
                   "coordinator discovered from the TPU environment).")
+flags.DEFINE_string("platform", "",
+                    "Force a JAX platform (e.g. 'cpu'). Overrides any "
+                    "site-level jax_platforms setting.")
 flags.mark_flags_as_required(["workdir", "config", "mode"])
 
 
 def main(argv):
+  if FLAGS.platform:
+    import jax
+    jax.config.update("jax_platforms", FLAGS.platform)
   if FLAGS.multihost:
     import jax
     jax.distributed.initialize()

@@ -70,6 +70,12 @@ def train(config, workdir: str) -> None:
 
   # Mesh + step fns
   mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
+  n_data = mesh.shape["data"]
+  if config.training.batch_size % n_data != 0:
+    raise ValueError(
+        f"training.batch_size ({config.training.batch_size}) must be "
+        f"divisible by the data-parallel device count ({n_data}) — "
+        f"reference datasets.py:84-86 semantics.")
   n_jitted = config.training.get("n_jitted_steps", 1)
   continuous = config.training.continuous
   reduce_mean = config.training.reduce_mean

@@ -140,3 +140,20 @@ def test_make_grid_and_save_image(tmp_path):
   from PIL import Image
   loaded = np.asarray(Image.open(path))
   assert loaded.shape == (19, 28, 3)
+
+
+def test_celeba_preprocessing_chain(tmp_path):
+  """CELEBA: central_crop(140) → resize_small (reference datasets.py:112-117)."""
+  from PIL import Image
+  d = tmp_path / "train"
+  d.mkdir()
+  (tmp_path / "test").mkdir()
+  rng = np.random.default_rng(0)
+  img = rng.integers(0, 256, (218, 178, 3), dtype=np.int64).astype(np.uint8)
+  Image.fromarray(img).save(d / "a.png")
+  Image.fromarray(img).save(tmp_path / "test" / "a.png")
+  cfg = _config(tmp_path=tmp_path, dataset="CELEBA", batch=1, size=64)
+  raw = datasets.load_raw_dataset(cfg, "train")
+  assert raw.shape == (1, 64, 64, 3)
+  want = datasets.resize_small(datasets.central_crop(img, 140), 64)
+  np.testing.assert_array_equal(raw[0], want)
