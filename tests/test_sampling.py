@@ -264,3 +264,36 @@ def test_sde_x_sampler_matrix_smoke(sde_name, method):
   samples, nfe = fn(jax.random.PRNGKey(1), variables["params"])
   assert samples.shape == (2, 16, 16, 3)
   assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_langevin_step_size_formula():
+  """Langevin corrector step size = 2·alpha·(snr·‖noise‖/‖grad‖)²
+  (reference sampling.py:262-282): verify against a hand computation with a
+  deterministic score."""
+  sde = VP
+  snr = 0.2
+  c = 2.0  # score = -c * x
+
+  def score_fn(x, t):
+    return -c * x
+
+  upd = sampling.get_corrector("langevin")(sde, score_fn, snr, 1)
+  x = jnp.ones((4, 4, 4, 1)) * 3.0
+  t = jnp.full((4,), 0.5)
+  rng = jax.random.PRNGKey(0)
+  got, got_mean = upd(rng, x, t)
+
+  # replicate: one step with the same rng stream
+  step_rng = jax.random.split(rng, 1)[0]
+  grad = score_fn(x, t)
+  noise = jax.random.normal(step_rng, x.shape)
+  grad_norm = jnp.mean(jnp.linalg.norm(grad.reshape(4, -1), axis=-1))
+  noise_norm = jnp.mean(jnp.linalg.norm(noise.reshape(4, -1), axis=-1))
+  timestep = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
+  alpha = sde.alphas[timestep]
+  step_size = (snr * noise_norm / grad_norm) ** 2 * 2 * alpha
+  want_mean = x + batch_mul(step_size, grad)
+  want = want_mean + batch_mul(jnp.sqrt(step_size * 2), noise)
+  np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean),
+                             rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
