@@ -29,9 +29,15 @@ def main():
   # bf16 inference: the TPU-native serving precision (params stay fp32,
   # norms/softmax fp32 — see models/layerspp.py). Training default is fp32.
   config.model.dtype = "bfloat16"
+
+  on_accelerator = jax.devices()[0].platform != "cpu"
+  if not on_accelerator:
+    # CPU fallback (driver sanity runs): shrink so the bench completes;
+    # the metric is only meaningful on TPU.
+    config.model.num_scales = 20
   sde = sde_lib.build_sde(config)
 
-  batch = 64
+  batch = 64 if on_accelerator else 8
   shape = (batch, 32, 32, 3)
   model_def, variables = mutils.create_model(config, jax.random.PRNGKey(0))
   params = variables["params"]

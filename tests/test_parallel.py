@@ -95,3 +95,12 @@ def test_spatial_sharding_forward():
             jax.device_put(t, parallel.data_sharding(mesh)))
   assert out.shape == (8, 16, 16, 3)
   assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dryrun_multichip_entrypoint():
+  """The driver-facing dryrun on the virtual 8-device mesh."""
+  import sys
+  sys.path.insert(0, "/root/repo")
+  import __graft_entry__ as g
+  g.dryrun_multichip(8)
+  g.dryrun_multichip(4)

@@ -297,3 +297,28 @@ def test_langevin_step_size_formula():
   np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean),
                              rtol=1e-5)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_ald_step_size_formula():
+  """ALD corrector step = 2·alpha·(snr·std)² (reference sampling.py:285-319)."""
+  sde = VE
+  snr = 0.3
+
+  def score_fn(x, t):
+    return -x
+
+  upd = sampling.get_corrector("ald")(sde, score_fn, snr, 1)
+  x = jnp.ones((2, 4, 4, 1)) * 2.0
+  t = jnp.full((2,), 0.5)
+  rng = jax.random.PRNGKey(0)
+  got, got_mean = upd(rng, x, t)
+
+  step_rng = jax.random.split(rng, 1)[0]
+  std = sde.marginal_prob(x, t)[1]
+  alpha = jnp.ones_like(t)  # VE
+  step_size = (snr * std) ** 2 * 2 * alpha
+  noise = jax.random.normal(step_rng, x.shape)
+  want_mean = x + batch_mul(step_size, score_fn(x, t))
+  want = want_mean + batch_mul(jnp.sqrt(step_size * 2), noise)
+  np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
