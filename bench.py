@@ -32,12 +32,15 @@ def main():
 
   on_accelerator = jax.devices()[0].platform != "cpu"
   if not on_accelerator:
-    # CPU fallback (driver sanity runs): shrink so the bench completes;
+    # CPU fallback (driver sanity runs): shrink hard so the bench completes;
     # the metric is only meaningful on TPU.
-    config.model.num_scales = 20
+    config.model.num_scales = 10
+    config.model.nf = 32
+    config.model.num_res_blocks = 2
+    config.model.dtype = "float32"
   sde = sde_lib.build_sde(config)
 
-  batch = 64 if on_accelerator else 8
+  batch = 64 if on_accelerator else 4
   shape = (batch, 32, 32, 3)
   model_def, variables = mutils.create_model(config, jax.random.PRNGKey(0))
   params = variables["params"]
@@ -56,7 +59,7 @@ def main():
   samples, nfe = sampler(rng, params)
   np.asarray(samples)
 
-  n_rounds = 2
+  n_rounds = 2 if on_accelerator else 1
   t0 = time.time()
   for i in range(n_rounds):
     samples, nfe = sampler(jax.random.fold_in(rng, i), params)

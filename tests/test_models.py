@@ -271,3 +271,33 @@ def test_ncsnpp_remat_matches_no_remat():
   for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_ncsnv2_128_and_256_variants():
+  """Size-variant RefineNet stacks forward (instantiated directly)."""
+  from score_sde_pytorch_tpu.models import ncsnv2 as v2
+  cfg = tiny_config(name="ncsnv2_128", normalization="InstanceNorm++",
+                    nonlinearity="elu", scale_by_sigma=False, image_size=64)
+  rng = jax.random.PRNGKey(0)
+  x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+  y = jnp.array([2.0])
+  m128 = v2.NCSNv2_128(cfg)
+  vars128 = m128.init(rng, x, y, train=False)
+  out = m128.apply(vars128, x, y, train=False)
+  assert out.shape == (1, 64, 64, 3)
+
+  cfg256 = tiny_config(name="ncsnv2_256", normalization="InstanceNorm++",
+                       nonlinearity="elu", scale_by_sigma=False,
+                       image_size=64)
+  m256 = v2.NCSNv2_256(cfg256)
+  vars256 = m256.init(rng, x, y, train=False)
+  out = m256.apply(vars256, x, y, train=False)
+  assert out.shape == (1, 64, 64, 3)
+
+
+def test_get_network_size_dispatch():
+  from score_sde_pytorch_tpu.models import ncsnv2 as v2
+  for size, cls in ((32, v2.NCSNv2), (128, v2.NCSNv2_128),
+                    (256, v2.NCSNv2_256)):
+    cfg = tiny_config(name="x", image_size=size)
+    assert v2.get_network(cfg).func is cls
