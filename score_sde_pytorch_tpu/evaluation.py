@@ -4,9 +4,10 @@ Rebuild of /root/reference/evaluation.py + the tensorflow_gan calls at
 run_lib.py:387-397. The tfgan/tfhub stack is replaced by on-device matrix
 math (SURVEY.md §2.8):
 
-* **FID** — Fréchet distance with the trace of the matrix square root
-  computed by a Newton–Schulz iteration on TPU (no host scipy.linalg.sqrtm
-  on the hot path; scipy remains the test oracle).
+* **FID** — Fréchet distance computed fully on device: the matrix-sqrt
+  trace uses the symmetric eigh form (robust to rank-deficient sample
+  covariances); a Newton–Schulz matmul-only sqrtm is also provided. scipy
+  remains the test oracle.
 * **IS** — classifier score from logits: exp(E[KL(p(y|x) || p(y))]).
 * **KID** — unbiased polynomial-kernel MMD² (block estimator).
 
