@@ -225,7 +225,14 @@ def ddpm_param_map(config) -> List[Tuple[str, str, str]]:
     base = f"all_modules.{idx}"
     _groupnorm(f"{base}.GroupNorm_0", f"{name}/GroupNorm_0", rows)
     _conv(f"{base}.Conv_0", f"{name}/Conv_0", rows)
-    _dense(f"{base}.Dense_0", f"{name}/Dense_0", rows)
+    if m.conditional:
+      _dense(f"{base}.Dense_0", f"{name}/Dense_0", rows)
+    else:
+      # Reference modules own Dense_0 params even when conditional=False
+      # (ddpm.py:57 passes temb_dim unconditionally) but never use them;
+      # our flax module creates the layer lazily, so consume-and-drop.
+      rows.append((f"{base}.Dense_0.weight", None, "drop"))
+      rows.append((f"{base}.Dense_0.bias", None, "drop"))
     _groupnorm(f"{base}.GroupNorm_1", f"{name}/GroupNorm_1", rows)
     _conv(f"{base}.Conv_1", f"{name}/Conv_1", rows)
     if in_ch != out_ch:
@@ -330,8 +337,10 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
   for torch_key, flax_path, kind in rows:
     if torch_key not in cleaned:
       raise KeyError(f"reference checkpoint missing {torch_key}")
-    _insert(tree, flax_path, _transform(cleaned[torch_key], kind))
     consumed.add(torch_key)
+    if flax_path is None:  # consume-and-drop (unused reference params)
+      continue
+    _insert(tree, flax_path, _transform(cleaned[torch_key], kind))
   leftovers = set(cleaned) - consumed
   if leftovers:
     raise ValueError(f"unconsumed reference params: {sorted(leftovers)[:8]}"

@@ -156,3 +156,24 @@ def test_groupnorm_matches_torch():
   got = gn.apply({"params": {"scale": jnp.asarray(gamma),
                              "bias": jnp.asarray(beta)}}, jnp.asarray(x))
   np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_ddpm_unconditional_map_drops_dense():
+  """vp/ddpm/cifar10_unconditional: reference modules still own Dense_0
+  params; the converter must consume and drop them."""
+  cfg = tiny_config(name="ddpm", embedding_type="positional",
+                    scale_by_sigma=False, conditional=False)
+  rows = interop.ddpm_param_map(cfg)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  flat = _flatten(jax.tree.map(np.asarray, variables["params"]))
+  mapped = {p for _, p, _ in rows if p is not None}
+  assert mapped == set(flat)
+  rng = np.random.default_rng(0)
+  torch_sd = {}
+  for tk, fp, kind in rows:
+    if fp is None:
+      torch_sd[tk] = rng.normal(size=(4, 4)).astype(np.float32)
+    else:
+      torch_sd[tk] = _inverse_transform(flat[fp], kind)
+  tree = interop.torch_state_dict_to_flax(torch_sd, cfg)
+  assert set(_flatten(tree)) == set(flat)
