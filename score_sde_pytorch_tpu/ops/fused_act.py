@@ -36,8 +36,9 @@ def fused_leaky_relu_pallas(x: Array, bias: Array | None = None,
                             interpret: bool = False) -> Array:
   """Pallas TPU kernel variant of :func:`fused_leaky_relu`.
 
-  Operates on the flattened (rows, channels) view so the channel dim rides the
-  128-lane axis; one VMEM-resident elementwise pass.
+  Operates on the flattened (rows, channels) view so the channel dim rides
+  the 128-lane axis; the row dim is tiled into VMEM-sized blocks (the whole
+  array rarely fits the ~16MB scoped VMEM).
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
@@ -46,18 +47,33 @@ def fused_leaky_relu_pallas(x: Array, bias: Array | None = None,
   c = orig_shape[-1]
   rows = math.prod(orig_shape[:-1])
   x2 = x.reshape(rows, c)
-  b = jnp.zeros((1, c), x.dtype) if bias is None else bias.reshape(1, c).astype(x.dtype)
+  b = (jnp.zeros((1, c), x.dtype) if bias is None
+       else bias.reshape(1, c).astype(x.dtype))
+
+  # Row tile: keep in+out blocks within a small VMEM slice.
+  block_rows = max(8, min(rows, (2 * 1024 * 1024) // (c * x.dtype.itemsize)))
+  block_rows = min(block_rows, rows)
+  pad_rows = (-rows) % block_rows
+  if pad_rows:
+    x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))
+  n_blocks = x2.shape[0] // block_rows
 
   def kernel(x_ref, b_ref, o_ref):
     v = x_ref[:] + b_ref[:]
     o_ref[:] = jnp.where(v >= 0, v, v * negative_slope) * scale
 
+  space = pltpu.ANY if interpret else pltpu.VMEM
   out = pl.pallas_call(
       kernel,
-      out_shape=jax.ShapeDtypeStruct((rows, c), x.dtype),
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)],
-      out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+      grid=(n_blocks,),
+      in_specs=[pl.BlockSpec((block_rows, c), lambda i: (i, 0),
+                             memory_space=space),
+                pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=space)],
+      out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0),
+                             memory_space=space),
+      out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
       interpret=interpret,
   )(x2, b)
+  if pad_rows:
+    out = out[:rows]
   return out.reshape(orig_shape)
