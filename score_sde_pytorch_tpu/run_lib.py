@@ -206,8 +206,22 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
   if config.eval.enable_sampling:
     sampling_shape = (config.eval.batch_size, config.data.image_size,
                       config.data.image_size, config.data.num_channels)
-    sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
-                                           sampling_shape, inverse_scaler)
+    # Shard sample generation over the mesh when PC sampling (SURVEY §7.9).
+    mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
+    if (config.sampling.method.lower() == "pc"
+        and config.eval.batch_size % mesh.shape["data"] == 0):
+      sampling_fn = sampling.get_pc_sampler(
+          sde, model_def, sampling_shape,
+          sampling.get_predictor(config.sampling.predictor.lower()),
+          sampling.get_corrector(config.sampling.corrector.lower()),
+          inverse_scaler, snr=config.sampling.snr,
+          n_steps=config.sampling.n_steps_each,
+          probability_flow=config.sampling.probability_flow,
+          continuous=config.training.continuous,
+          denoise=config.sampling.noise_removal, mesh=mesh)
+    else:
+      sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
+                                             sampling_shape, inverse_scaler)
 
   ckpt_mgr = ckpt_lib.CheckpointManager(workdir)
   begin_ckpt = config.eval.begin_ckpt

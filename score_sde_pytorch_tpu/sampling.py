@@ -14,6 +14,7 @@ Rebuild of /root/reference/sampling.py. Key TPU-native differences:
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -234,17 +235,30 @@ def none_corrector(sde, score_fn, snr, n_steps):
 def get_pc_sampler(sde, model_def, shape, predictor, corrector,
                    inverse_scaler, snr, n_steps: int = 1,
                    probability_flow: bool = False, continuous: bool = False,
-                   denoise: bool = True, eps: float = 1e-3):
+                   denoise: bool = True, eps: float = 1e-3, mesh=None):
   """Predictor–corrector sampler.
 
   Returns ``sampler(rng, params) -> (samples, nfe)``; the full N-step loop
   is one compiled scan. ``predictor``/``corrector`` are the factory callables
   from the registries (or None → the respective "none" entry).
+
+  With ``mesh`` given, sample generation is data-parallel: the batch axis of
+  the returned samples is sharded over the mesh's ``data`` axis (params
+  replicated, XLA partitions the whole scanned chain) — the sharded
+  sample-generation mode of the eval pipeline (SURVEY.md §7 step 9).
   """
   predictor = predictor or _PREDICTORS["none"]
   corrector = corrector or _CORRECTORS["none"]
 
-  @jax.jit
+  jit_kwargs = {}
+  if mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    jit_kwargs = dict(
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P())),
+        out_shardings=(NamedSharding(mesh, P("data")),
+                       NamedSharding(mesh, P())))
+
+  @functools.partial(jax.jit, **jit_kwargs)
   def pc_sampler(rng, params):
     score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
                                    continuous=continuous)
@@ -264,7 +278,7 @@ def get_pc_sampler(sde, model_def, shape, predictor, corrector,
 
     (rng, x, x_mean), _ = jax.lax.scan(step, (rng, x, x), timesteps)
     out = inverse_scaler(x_mean if denoise else x)
-    return out, sde.N * (n_steps + 1)
+    return out, jnp.asarray(sde.N * (n_steps + 1))
 
   return pc_sampler
 

@@ -104,3 +104,27 @@ def test_dryrun_multichip_entrypoint():
   import __graft_entry__ as g
   g.dryrun_multichip(8)
   g.dryrun_multichip(4)
+
+
+def test_sharded_pc_sampling():
+  """Mesh-sharded sample generation: batch axis sharded over 8 devices."""
+  import jax.numpy as jnp
+  from score_sde_pytorch_tpu import sampling, sde as sde_lib
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config()
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=4)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  mesh = parallel.create_mesh()
+  sampler = sampling.get_pc_sampler(
+      sde, model_def, (16, 16, 16, 3),
+      sampling.get_predictor("reverse_diffusion"),
+      sampling.get_corrector("none"), lambda x: x, snr=0.16,
+      continuous=True, mesh=mesh)
+  samples, nfe = sampler(jax.random.PRNGKey(1), variables["params"])
+  assert samples.shape == (16, 16, 16, 3)
+  assert samples.sharding.spec == jax.sharding.PartitionSpec("data")
+  assert {s.data.shape for s in samples.addressable_shards} == {(2, 16, 16, 3)}
+  assert np.isfinite(np.asarray(samples)).all()
