@@ -58,6 +58,16 @@ class NCSNpp(nn.Module):
     # and softmax run fp32) — config.model.dtype ∈ {float32, bfloat16}.
     dtype = (jnp.bfloat16 if config.model.get("dtype", "float32") == "bfloat16"
              else None)
+    # Opt-in spatial activation sharding: constrain (N, H) to the
+    # ('data', 'space') mesh axes at each resolution change. Requires an
+    # ambient mesh (jax.set_mesh) — see parallel.mesh.constrain_spatial.
+    spatial_shard = bool(config.model.get("spatial_sharding", False))
+
+    def constrain(h):
+      if spatial_shard:
+        from score_sde_pytorch_tpu.parallel.mesh import constrain_spatial
+        return constrain_spatial(h)
+      return h
     assert progressive in ["none", "output_skip", "residual"]
     assert progressive_input in ["none", "input_skip", "residual"]
     assert embedding_type in ["fourier", "positional"]
@@ -126,7 +136,7 @@ class NCSNpp(nn.Module):
     # --- downsampling trunk (reference ncsnpp.py:260-296) ---
     input_pyramid = x if progressive_input != "none" else None
 
-    hs = [conv3x3(nf, dtype=dtype, name="conv_in")(x)]
+    hs = [constrain(conv3x3(nf, dtype=dtype, name="conv_in")(x))]
     for i_level in range(num_resolutions):
       for i_block in range(num_res_blocks):
         h = block_call(resnet_block(out_ch=nf * ch_mult[i_level],
@@ -134,7 +144,7 @@ class NCSNpp(nn.Module):
                        hs[-1], temb)
         if h.shape[1] in attn_resolutions:
           h = attn_block(name=f"down_{i_level}_attn_{i_block}")(h)
-        hs.append(h)
+        hs.append(constrain(h))
 
       if i_level != num_resolutions - 1:
         if resblock_type == "ddpm":
@@ -163,10 +173,10 @@ class NCSNpp(nn.Module):
           else:
             input_pyramid = input_pyramid + h
           h = input_pyramid
-        hs.append(h)
+        hs.append(constrain(h))
 
     # --- bottleneck (reference ncsnpp.py:298-304) ---
-    h = hs[-1]
+    h = constrain(hs[-1])
     h = block_call(resnet_block(name="mid_block_0"), h, temb)
     h = attn_block(name="mid_attn")(h)
     h = block_call(resnet_block(name="mid_block_1"), h, temb)
@@ -228,8 +238,8 @@ class NCSNpp(nn.Module):
                                 fir_kernel=fir_kernel, dtype=dtype,
                                 name=f"up_{i_level}_upsample")(h)
         else:
-          h = block_call(
-              resnet_block(up=True, name=f"up_{i_level}_upsample"), h, temb)
+          h = constrain(block_call(
+              resnet_block(up=True, name=f"up_{i_level}_upsample"), h, temb))
 
     assert not hs
 

@@ -52,6 +52,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
 
 
+def constrain_spatial(x):
+  """Constrain an NHWC activation to P('data', 'space').
+
+  Requires an ambient mesh (``with jax.set_mesh(mesh):``) with those axis
+  names; used by models when ``config.model.spatial_sharding`` is on so the
+  H-axis sharding sticks through the network instead of being re-gathered
+  (SURVEY.md §2.7 spatial sharding for ≥256px). No-op when there is no
+  ambient mesh or the activation's (N, H) dims don't divide the mesh (e.g.
+  the batch-1 init trace, or H below the shard count deep in the U-Net)."""
+  mesh = jax.sharding.get_abstract_mesh()
+  if mesh is None or mesh.empty or DATA_AXIS not in mesh.shape:
+    return x
+  n_data = mesh.shape[DATA_AXIS]
+  n_space = mesh.shape.get(SPACE_AXIS, 1)
+  if x.shape[0] % n_data != 0 or x.shape[1] % n_space != 0:
+    return x
+  return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, SPACE_AXIS))
+
+
 def shard_batch(batch, mesh: Mesh):
   """Place a host numpy batch onto the mesh, sharded along the batch dim."""
   return jax.device_put(batch, data_sharding(mesh))

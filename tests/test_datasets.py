@@ -157,3 +157,16 @@ def test_celeba_preprocessing_chain(tmp_path):
   assert raw.shape == (1, 64, 64, 3)
   want = datasets.resize_small(datasets.central_crop(img, 140), 64)
   np.testing.assert_array_equal(raw[0], want)
+
+
+def test_io_utils_local_paths(tmp_path):
+  from score_sde_pytorch_tpu.utils import io as io_utils
+  d = tmp_path / "sub" / "dir"
+  io_utils.makedirs(str(d))
+  assert io_utils.exists(str(d))
+  p = d / "x.npz"
+  io_utils.save_npz(str(p), a=np.arange(4))
+  with io_utils.open_file(str(p), "rb") as f:
+    with np.load(f) as z:
+      np.testing.assert_array_equal(z["a"], np.arange(4))
+  assert not io_utils.exists(str(tmp_path / "nope"))

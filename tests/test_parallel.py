@@ -128,3 +128,30 @@ def test_sharded_pc_sampling():
   assert samples.sharding.spec == jax.sharding.PartitionSpec("data")
   assert {s.data.shape for s in samples.addressable_shards} == {(2, 16, 16, 3)}
   assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_spatial_sharding_constraints_stick():
+  """With model.spatial_sharding on under an ambient (data, space) mesh, the
+  forward keeps activations sharded along H and output stays correct."""
+  import jax.numpy as jnp
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg0 = tiny_config()
+  cfg1 = tiny_config()
+  cfg1.model.spatial_sharding = True
+  m0, v0 = mutils.create_model(cfg0, jax.random.PRNGKey(0))
+  mesh = parallel.create_mesh(n_data=4, n_space=2)
+  x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+  t = jnp.full((8,), 0.5)
+  out0 = m0.apply(v0, x, t, train=False)
+
+  with jax.set_mesh(mesh):  # constraints need the ambient mesh at trace time
+    m1, v1 = mutils.create_model(cfg1, jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda v, x, t: m1.apply(v, x, t, train=False),
+                  out_shardings=parallel.spatial_sharding(mesh))
+    out1 = fwd(v1, jax.device_put(x, parallel.spatial_sharding(mesh)),
+               jax.device_put(t, parallel.data_sharding(mesh)))
+  np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                             rtol=1e-4, atol=1e-5)
