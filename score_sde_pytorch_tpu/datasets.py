@@ -22,11 +22,12 @@ Supported sources (config.data.dataset / config.data.data_dir):
 """
 from __future__ import annotations
 
+import itertools
 import os
 import pickle
 import queue
 import threading
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -131,7 +132,12 @@ def _iter_folder(data_dir: str, resolution: int, resize_op=None):
 
 
 def _iter_tfrecords(data_dir: str, resolution: int):
-  """FFHQ/CelebAHQ-style TFRecords (reference datasets.py:110-132)."""
+  """FFHQ/CelebAHQ-style TFRecords (reference datasets.py:110-132).
+
+  Returns (gen_factory, count_fn): records stream one at a time (never
+  materialized), and counting — needed only for exact eval-epoch sizes —
+  is a separate raw pass that decodes nothing.
+  """
   import tensorflow as tf
   tf.config.set_visible_devices([], "GPU")
   files = sorted(
@@ -157,7 +163,77 @@ def _iter_tfrecords(data_dir: str, resolution: int):
         img = crop_resize(img, resolution)
       yield img
 
-  return gen, None
+  def count_fn():
+    return sum(1 for _ in tf.data.TFRecordDataset(files))
+
+  return gen, count_fn
+
+
+class StreamingSource:
+  """Bounded-memory image source: a restartable stream of uint8 HWC images.
+
+  Replaces the reference's tf.data graph for large on-disk datasets
+  (reference datasets.py:110-132,176-192) — images are decoded lazily, one
+  at a time, so 1024px FFHQ never materializes in RAM. ``count`` may be
+  None for sources where it is unknown until counted; ``count_fn`` (if
+  given) computes it on demand without decoding.
+  """
+
+  def __init__(self, gen_factory: Callable, count: Optional[int] = None,
+               count_fn: Optional[Callable[[], int]] = None):
+    self.gen_factory = gen_factory
+    self._count = count
+    self._count_fn = count_fn
+
+  @property
+  def count(self) -> Optional[int]:
+    if self._count is None and self._count_fn is not None:
+      self._count = self._count_fn()
+    return self._count
+
+  @property
+  def count_known(self) -> bool:
+    return self._count is not None
+
+  def shard(self, index: int, num_shards: int) -> "StreamingSource":
+    """Disjoint strided shard (tf.data ``.shard()`` semantics): this shard
+    sees records i with i % num_shards == index."""
+    if num_shards == 1:
+      return self
+    factory = self.gen_factory
+
+    def sharded():
+      return itertools.islice(factory(), index, None, num_shards)
+
+    count = self._count
+    count_fn = self._count_fn
+    return StreamingSource(
+        sharded,
+        None if count is None else (count - index + num_shards - 1) // num_shards,
+        None if count_fn is None
+        else lambda: (count_fn() - index + num_shards - 1) // num_shards)
+
+  def materialize(self) -> Array:
+    """Decode the whole stream into one uint8 array (small sets / tools)."""
+    return np.stack(list(self.gen_factory()))
+
+
+def shard_for_process(images, process_index: int, process_count: int):
+  """Per-host shard of a data source (reference's TPU-pod per-host feeding,
+  run_lib.py:122,335 / datasets.py:84-86): disjoint strided shards so no
+  two processes ever compute gradients on the same example."""
+  if process_count == 1:
+    return images
+  if isinstance(images, StreamingSource):
+    return images.shard(process_index, process_count)
+  return images[process_index::process_count]
+
+
+def materialize(source) -> Array:
+  """uint8 array from either an in-memory array or a StreamingSource."""
+  if isinstance(source, StreamingSource):
+    return source.materialize()
+  return source
 
 
 def _synthetic(config, split: str) -> Array:
@@ -171,10 +247,19 @@ def _synthetic(config, split: str) -> Array:
 
 
 def load_raw_dataset(config, split: str):
-  """Resolve config → (in-memory uint8 array) or (generator, count)."""
+  """Resolve config → in-memory uint8 array or bounded-memory StreamingSource.
+
+  Small standard sets (CIFAR10/SVHN/NPZ/synthetic) load in RAM; FOLDER- and
+  TFRecord-backed sets stream (the reference streams these through tf.data,
+  datasets.py:110-132,176-192 — 1024px FFHQ is ~220 GB decoded and must
+  never be materialized). ``config.data.in_memory = True`` forces
+  materialization for small folder sets (enables the native C++ loader and
+  full-set shuffling).
+  """
   name = config.data.dataset.upper()
   data_dir = config.data.get("data_dir", "")
   size = config.data.image_size
+  in_memory = config.data.get("in_memory", False)
   if not data_dir:
     return _synthetic(config, split)
   if name == "CIFAR10":
@@ -193,13 +278,15 @@ def load_raw_dataset(config, split: str):
       resize_op = lambda img: central_crop(resize_small(img, size), size)
     else:
       resize_op = lambda img: crop_resize(img, size)
-    gen, _ = _iter_folder(os.path.join(data_dir, split)
-                          if os.path.isdir(os.path.join(data_dir, split))
-                          else data_dir, size, resize_op)
-    return np.stack(list(gen()))  # in-memory; streaming is a future option
+    gen, count = _iter_folder(os.path.join(data_dir, split)
+                              if os.path.isdir(os.path.join(data_dir, split))
+                              else data_dir, size, resize_op)
+    src = StreamingSource(gen, count)
+    return src.materialize() if in_memory else src
   if name in ("FFHQ", "CELEBAHQ"):
-    gen, _ = _iter_tfrecords(data_dir, size)
-    return np.stack(list(gen()))
+    gen, count_fn = _iter_tfrecords(data_dir, size)
+    src = StreamingSource(gen, count_fn=count_fn)
+    return src.materialize() if in_memory else src
   raise NotImplementedError(f"Dataset {name} not supported.")
 
 
@@ -280,10 +367,99 @@ class DatasetIterator:
     return next(self._it)
 
 
-def _make_iterator(images: Array, batch_size: int, *, random_flip: bool,
+class StreamingDatasetIterator:
+  """Infinite batch iterator over a StreamingSource with bounded memory.
+
+  Matches the reference tf.data pipeline shape repeat→shuffle(10000)→map→
+  batch(drop_remainder)→prefetch (reference datasets.py:176-192): a
+  fixed-size reservoir shuffle buffer (capped both by ``shuffle_buffer``
+  items and ``buffer_bytes``), per-epoch restart of the underlying stream,
+  remainder batches dropped at epoch boundaries, and a background prefetch
+  thread. Peak RSS ≈ buffer + a few batches, independent of dataset size.
+  """
+
+  def __init__(self, source: StreamingSource, batch_size: int, *,
+               random_flip: bool = False,
+               uniform_dequantization: bool = False,
+               shuffle: bool = True, seed: int = 0,
+               shuffle_buffer: int = 10000,
+               buffer_bytes: int = 512 << 20,
+               prefetch: bool = True):
+    self.source = source
+    self.batch_size = batch_size
+    self.random_flip = random_flip
+    self.uniform_dequantization = uniform_dequantization
+    self.shuffle = shuffle
+    self.seed = seed
+    self.shuffle_buffer = shuffle_buffer
+    self.buffer_bytes = buffer_bytes
+    self._it = _Prefetcher(self._batches) if prefetch else self._batches()
+
+  @property
+  def batches_per_epoch(self) -> Optional[int]:
+    n = self.source.count  # may trigger a lazy (non-decoding) count pass
+    return None if n is None else n // self.batch_size
+
+  def _examples(self, rng):
+    """One epoch of examples, reservoir-shuffled under a memory cap."""
+    stream = self.source.gen_factory()
+    if not self.shuffle:
+      yield from stream
+      return
+    buf = []
+    cap = None
+    for img in stream:
+      if cap is None:
+        cap = max(2 * self.batch_size,
+                  min(self.shuffle_buffer,
+                      self.buffer_bytes // max(img.nbytes, 1)))
+      if len(buf) < cap:
+        buf.append(img)
+        continue
+      j = rng.integers(len(buf))
+      out, buf[j] = buf[j], img
+      yield out
+    rng.shuffle(buf)
+    yield from buf
+
+  def _batches(self):
+    rng = np.random.default_rng(self.seed)
+    while True:  # repeat (reference datasets.py:183)
+      batch = []
+      for img in self._examples(rng):
+        batch.append(img)
+        if len(batch) < self.batch_size:
+          continue
+        arr = np.stack(batch).astype(np.float32)
+        batch = []
+        if self.random_flip:
+          flips = rng.random(arr.shape[0]) < 0.5
+          arr[flips] = arr[flips, :, ::-1, :]
+        if self.uniform_dequantization:
+          u = rng.random(arr.shape).astype(np.float32)
+          arr = (u + arr) / 256.0
+        else:
+          arr = arr / 255.0
+        yield arr
+      # leftover < batch_size dropped: drop_remainder=True semantics
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> Array:
+    return next(self._it)
+
+
+def _make_iterator(images, batch_size: int, *, random_flip: bool,
                    uniform_dequantization: bool, shuffle: bool, seed: int,
-                   backend: str = "auto"):
-  """Pick the native C++ producer when available, numpy otherwise."""
+                   backend: str = "auto", prefetch: bool = True):
+  """Pick the right producer: streaming for StreamingSource, else the
+  native C++ loader when available, numpy otherwise."""
+  if isinstance(images, StreamingSource):
+    return StreamingDatasetIterator(
+        images, batch_size, random_flip=random_flip,
+        uniform_dequantization=uniform_dequantization, shuffle=shuffle,
+        seed=seed, prefetch=prefetch)
   if backend in ("auto", "native"):
     try:
       from score_sde_pytorch_tpu.native import NativeDataLoader
@@ -296,30 +472,52 @@ def _make_iterator(images: Array, batch_size: int, *, random_flip: bool,
   return DatasetIterator(
       images, batch_size, random_flip=random_flip,
       uniform_dequantization=uniform_dequantization, shuffle=shuffle,
-      seed=seed)
+      seed=seed, prefetch=prefetch)
 
 
 def get_dataset(config, *, uniform_dequantization: bool = False,
-                evaluation: bool = False):
+                evaluation: bool = False, process_index: Optional[int] = None,
+                process_count: Optional[int] = None):
   """Build (train_iter, eval_iter) (reference datasets.py:71-196).
 
   ``uniform_dequantization`` overrides the config flag (used by the bpd eval
   pipeline, reference run_lib.py:236). The batch producer is the native C++
   threaded loader when it builds, with a numpy fallback
   (``config.data.loader_backend`` ∈ {auto, native, python}).
+
+  Multi-host: each process gets a disjoint strided shard of the dataset and
+  yields LOCAL batches of ``batch_size // process_count`` examples
+  (reference datasets.py:84-86 divisibility rule; per-host feeding per
+  run_lib.py:122,335). The global batch is assembled in run_lib via
+  ``jax.make_array_from_process_local_data``. Pass process_index/count
+  explicitly for testing; they default to the live JAX process topology.
   """
+  if process_count is None or process_index is None:
+    import jax
+    process_count = jax.process_count()
+    process_index = jax.process_index()
   batch_size = (config.training.batch_size if not evaluation
                 else config.eval.batch_size)
+  if batch_size % process_count != 0:
+    raise ValueError(
+        f"batch_size ({batch_size}) must be divisible by the process count "
+        f"({process_count}) — reference datasets.py:84-86 semantics.")
+  local_batch = batch_size // process_count
   dequant = uniform_dequantization or config.data.uniform_dequantization
   backend = config.data.get("loader_backend", "auto")
-  train_imgs = load_raw_dataset(config, "train")
-  eval_imgs = load_raw_dataset(config, "test")
+  # Decorrelate per-process host RNG (flip/dequant/shuffle order) with a
+  # prime stride so adjacent config seeds never collide across hosts.
+  seed = config.seed + 7919 * process_index
+  train_imgs = shard_for_process(load_raw_dataset(config, "train"),
+                                 process_index, process_count)
+  eval_imgs = shard_for_process(load_raw_dataset(config, "test"),
+                                process_index, process_count)
   train_it = _make_iterator(
-      train_imgs, batch_size, random_flip=config.data.random_flip,
-      uniform_dequantization=dequant, shuffle=True, seed=config.seed,
+      train_imgs, local_batch, random_flip=config.data.random_flip,
+      uniform_dequantization=dequant, shuffle=True, seed=seed,
       backend=backend)
   eval_it = _make_iterator(
-      eval_imgs, batch_size, random_flip=False,
-      uniform_dequantization=dequant, shuffle=False, seed=config.seed + 1,
+      eval_imgs, local_batch, random_flip=False,
+      uniform_dequantization=dequant, shuffle=False, seed=seed + 1,
       backend="python" if backend == "python" else backend)
   return train_it, eval_it

@@ -153,7 +153,7 @@ def test_celeba_preprocessing_chain(tmp_path):
   Image.fromarray(img).save(d / "a.png")
   Image.fromarray(img).save(tmp_path / "test" / "a.png")
   cfg = _config(tmp_path=tmp_path, dataset="CELEBA", batch=1, size=64)
-  raw = datasets.load_raw_dataset(cfg, "train")
+  raw = datasets.materialize(datasets.load_raw_dataset(cfg, "train"))
   assert raw.shape == (1, 64, 64, 3)
   want = datasets.resize_small(datasets.central_crop(img, 140), 64)
   np.testing.assert_array_equal(raw[0], want)

@@ -1,0 +1,136 @@
+"""Streaming data pipeline: bounded memory for large on-disk datasets
+(VERDICT r1 item #3; reference streams TFRecords via tf.data,
+/root/reference/datasets.py:110-132,176-192).
+"""
+import os
+
+import ml_collections
+import numpy as np
+import pytest
+
+from score_sde_pytorch_tpu import datasets
+
+
+def _rss_mb() -> float:
+  with open("/proc/self/statm") as f:
+    return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**20
+
+
+def _write_tfrecords(path, n, size, seed=0, shards=2):
+  """FFHQ-layout records: CHW uint8 under 'data', [3] int64 'shape'."""
+  tf = pytest.importorskip("tensorflow")
+  rng = np.random.default_rng(seed)
+  per = (n + shards - 1) // shards
+  i = 0
+  for s in range(shards):
+    fname = os.path.join(path, f"data-{s:02d}.tfrecords")
+    with tf.io.TFRecordWriter(fname) as w:
+      for _ in range(min(per, n - i)):
+        img = rng.integers(0, 256, (3, size, size), dtype=np.uint8)
+        ex = tf.train.Example(features=tf.train.Features(feature={
+            "shape": tf.train.Feature(
+                int64_list=tf.train.Int64List(value=img.shape)),
+            "data": tf.train.Feature(
+                bytes_list=tf.train.BytesList(value=[img.tobytes()])),
+        }))
+        w.write(ex.SerializeToString())
+        i += 1
+  return i
+
+
+def _cfg(data_dir, dataset="FFHQ", size=1024, batch=4):
+  c = ml_collections.ConfigDict()
+  c.training = ml_collections.ConfigDict({"batch_size": batch})
+  c.eval = ml_collections.ConfigDict({"batch_size": batch})
+  c.data = ml_collections.ConfigDict({
+      "dataset": dataset, "image_size": size, "num_channels": 3,
+      "random_flip": False, "centered": False,
+      "uniform_dequantization": False, "data_dir": str(data_dir)})
+  c.seed = 0
+  return c
+
+
+def test_tfrecord_streaming_bounded_rss(tmp_path):
+  """1024px records stream through a small buffer: RSS stays far below the
+  decoded dataset size (the r1 materializing path could not)."""
+  n, size = 96, 1024  # 96 × 3 MB = 288 MB decoded
+  _write_tfrecords(str(tmp_path), n, size)
+  cfg = _cfg(tmp_path, size=size, batch=4)
+  src = datasets.load_raw_dataset(cfg, "train")
+  assert isinstance(src, datasets.StreamingSource)
+  it = datasets.StreamingDatasetIterator(
+      src, 4, shuffle=True, seed=0, buffer_bytes=24 << 20,  # ~8-image buffer
+      prefetch=False)
+  rss_before = _rss_mb()
+  for _ in range(int(n / 4 * 1.5)):  # 1.5 epochs, batches not retained
+    b = next(it)
+    assert b.shape == (4, size, size, 3)
+  rss_delta = _rss_mb() - rss_before
+  # Fixed overhead only (~8-image buffer + 2 in-flight float32 batches +
+  # TF iterator state ≈ 140 MB), independent of dataset size — strictly
+  # sublinear in the 288 MB decoded set (r1 materialized all of it).
+  assert rss_delta < 0.75 * (n * 3 * size * size / 2**20), (
+      f"streaming RSS grew {rss_delta:.0f} MB")
+  assert it.batches_per_epoch == n // 4  # lazy count, no decode
+
+
+def test_streaming_epoch_content_and_shuffle(tmp_path):
+  """Every record appears exactly once per epoch; shuffling changes order."""
+  n, size = 10, 8
+  _write_tfrecords(str(tmp_path), n, size, shards=1)
+  cfg = _cfg(tmp_path, size=size, batch=2)
+  src = datasets.load_raw_dataset(cfg, "train")
+  it = datasets.StreamingDatasetIterator(src, 2, shuffle=True, seed=3,
+                                         prefetch=False)
+  epoch1 = [next(it) for _ in range(5)]
+  epoch2 = [next(it) for _ in range(5)]
+  flat1 = {r.tobytes() for b in epoch1 for r in b}
+  flat2 = {r.tobytes() for b in epoch2 for r in b}
+  assert len(flat1) == n and flat1 == flat2
+  assert not all(np.array_equal(a, b) for a, b in zip(epoch1, epoch2))
+
+
+def test_streaming_no_shuffle_is_deterministic(tmp_path):
+  n, size = 6, 8
+  _write_tfrecords(str(tmp_path), n, size, shards=1)
+  cfg = _cfg(tmp_path, size=size, batch=3)
+  s1 = datasets.load_raw_dataset(cfg, "train")
+  s2 = datasets.load_raw_dataset(cfg, "train")
+  i1 = datasets.StreamingDatasetIterator(s1, 3, shuffle=False, prefetch=False)
+  i2 = datasets.StreamingDatasetIterator(s2, 3, shuffle=False, prefetch=False)
+  for _ in range(4):
+    np.testing.assert_array_equal(next(i1), next(i2))
+
+
+def test_folder_streaming_by_default(tmp_path):
+  from PIL import Image
+  d = tmp_path / "train"
+  d.mkdir()
+  rng = np.random.default_rng(0)
+  for i in range(5):
+    Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.int64)
+                    .astype(np.uint8)).save(d / f"{i}.png")
+  cfg = _cfg(tmp_path, dataset="FOLDER", size=16, batch=2)
+  src = datasets.load_raw_dataset(cfg, "train")
+  assert isinstance(src, datasets.StreamingSource)
+  assert src.count == 5
+  cfg.data.in_memory = True
+  arr = datasets.load_raw_dataset(cfg, "train")
+  assert isinstance(arr, np.ndarray) and arr.shape == (5, 16, 16, 3)
+
+
+def test_streaming_train_smoke(tmp_path):
+  """End-to-end train on a streaming TFRecord set (tiny model, 2 steps)."""
+  from tests.test_run_lib import _pipeline_config
+  from score_sde_pytorch_tpu import run_lib
+  n, size = 24, 16
+  (tmp_path / "records").mkdir()
+  _write_tfrecords(str(tmp_path / "records"), n, size, shards=2)
+  cfg = _pipeline_config()
+  cfg.data.update({"dataset": "CELEBAHQ", "data_dir": str(tmp_path / "records"),
+                   "image_size": size})
+  cfg.training.update({"n_iters": 2, "snapshot_freq": 2, "batch_size": 8,
+                       "snapshot_sampling": False})
+  workdir = str(tmp_path / "wd")
+  run_lib.train(cfg, workdir)
+  assert os.path.exists(os.path.join(workdir, "checkpoints", "checkpoint_1"))

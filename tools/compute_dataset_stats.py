@@ -27,7 +27,7 @@ def main(argv):
   from score_sde_pytorch_tpu import datasets, evaluation
 
   config = FLAGS.config
-  images = datasets.load_raw_dataset(config, FLAGS.split)
+  images = datasets.materialize(datasets.load_raw_dataset(config, FLAGS.split))
   stats = evaluation.run_inception(images, config)
   if stats is None:
     raise SystemExit("Inception weights unavailable "
