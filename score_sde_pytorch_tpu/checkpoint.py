@@ -16,8 +16,16 @@ from typing import Any, Optional
 import jax
 import orbax.checkpoint as ocp
 
+from score_sde_pytorch_tpu.utils import io as io_utils
+
 
 def _path(p: str) -> str:
+  """Resolve a workdir to what Orbax should see: local paths become
+  absolute; mirror-backed schemes translate to their local root; gs://
+  URIs pass through (Orbax/tensorstore handles GCS natively)."""
+  p = io_utils.localize(p)
+  if "://" in p:
+    return p
   return os.path.abspath(os.path.expanduser(p))
 
 
@@ -28,8 +36,8 @@ class CheckpointManager:
     self.workdir = _path(workdir)
     self.meta_dir = os.path.join(self.workdir, "checkpoints-meta")
     self.ckpt_dir = os.path.join(self.workdir, "checkpoints")
-    os.makedirs(self.meta_dir, exist_ok=True)
-    os.makedirs(self.ckpt_dir, exist_ok=True)
+    io_utils.makedirs(self.meta_dir)
+    io_utils.makedirs(self.ckpt_dir)
     self._ckpt = ocp.StandardCheckpointer()
 
   # --- rolling meta tier (preemption resume) ---
@@ -43,7 +51,7 @@ class CheckpointManager:
     """Restore the rolling checkpoint; returns the template unchanged when no
     checkpoint exists (reference utils.py:7-12 graceful cold start)."""
     path = os.path.join(self.meta_dir, "checkpoint")
-    if not os.path.exists(path):
+    if not io_utils.exists(path):
       return state_template
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_template)
     return self._ckpt.restore(path, abstract)
@@ -61,11 +69,11 @@ class CheckpointManager:
     return self._ckpt.restore(path, abstract)
 
   def has_numbered(self, number: int) -> bool:
-    return os.path.exists(os.path.join(self.ckpt_dir, f"checkpoint_{number}"))
+    return io_utils.exists(os.path.join(self.ckpt_dir, f"checkpoint_{number}"))
 
   def latest_numbered(self) -> Optional[int]:
     nums = []
-    for name in os.listdir(self.ckpt_dir):
+    for name in io_utils.listdir(self.ckpt_dir):
       if name.startswith("checkpoint_"):
         try:
           nums.append(int(name.split("_")[1]))

@@ -40,12 +40,17 @@ def main(argv):
     jax.distributed.initialize()
 
   from score_sde_pytorch_tpu import run_lib
+  from score_sde_pytorch_tpu.utils import io as io_utils
 
-  os.makedirs(FLAGS.workdir, exist_ok=True)
-  # Dual console + file logging (reference main.py:40-49).
+  io_utils.makedirs(FLAGS.workdir)
+  # Dual console + file logging (reference main.py:40-49); the file side
+  # goes through gfile so gs:// workdirs work (reference main.py:43).
   handler = logging.StreamHandler(sys.stdout)
-  file_handler = logging.FileHandler(
-      os.path.join(FLAGS.workdir, "stdout.txt"))
+  log_path = os.path.join(FLAGS.workdir, "stdout.txt")
+  if "://" in log_path:
+    file_handler = logging.StreamHandler(io_utils.open_file(log_path, "w"))
+  else:
+    file_handler = logging.FileHandler(log_path)
   formatter = logging.Formatter(
       "%(levelname)s - %(filename)s - %(asctime)s - %(message)s")
   for h in (handler, file_handler):

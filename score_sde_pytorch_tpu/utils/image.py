@@ -26,9 +26,11 @@ def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
 
 
 def save_image(image: np.ndarray, path: str) -> None:
-  """Save a [H,W,C] float image in [0,1] as PNG."""
+  """Save a [H,W,C] float image in [0,1] as PNG (cloud-URI transparent)."""
   from PIL import Image
+  from score_sde_pytorch_tpu.utils import io as io_utils
   arr = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
   if arr.shape[-1] == 1:
     arr = arr[..., 0]
-  Image.fromarray(arr).save(path)
+  with io_utils.open_file(path, "wb") as f:
+    Image.fromarray(arr).save(f, format="PNG")
