@@ -26,6 +26,14 @@ def get_default_configs():
   sampling.noise_removal = True
   sampling.probability_flow = False
   sampling.snr = 0.16
+  # TPU-native additions: per-config solver knobs (the reference hard-codes
+  # rtol=atol=1e-5 in sampling.py:418 and heun has no reference analogue).
+  sampling.rtol = 1e-5
+  sampling.atol = 1e-5
+  sampling.heun_steps = 50
+  # Integration endpoint; <=0 → per-SDE default (1e-3 VP/subVP, 1e-5 VE —
+  # reference run_lib.py:90-100 sampling_eps).
+  sampling.eps = -1.0
 
   # evaluation
   config.eval = evaluate = ml_collections.ConfigDict()

@@ -365,16 +365,23 @@ def get_heun_sampler(sde, model_def, shape, inverse_scaler,
 
 
 def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
-                    eps: float = 1e-3):
+                    eps: Optional[float] = None):
   """Dispatcher on config.sampling.method (reference sampling.py:80-123,
   plus the TPU-native 'heun' fast sampler).
 
-  Returns ``sampling_fn(rng, params) -> (samples, nfe)``.
+  Returns ``sampling_fn(rng, params) -> (samples, nfe)``. ``eps`` defaults
+  to the per-SDE sampling_eps (reference run_lib.py:90-100: 1e-3 VP/subVP,
+  1e-5 VE), overridable via ``config.sampling.eps``; ODE tolerances come
+  from ``config.sampling.{rtol,atol}``.
   """
+  if eps is None:
+    eps = sde_lib.sampling_eps(config)
   sampler_name = config.sampling.method
   if sampler_name.lower() == "ode":
     return get_ode_sampler(sde, model_def, shape, inverse_scaler,
-                           denoise=config.sampling.noise_removal, eps=eps)
+                           denoise=config.sampling.noise_removal,
+                           rtol=config.sampling.get("rtol", 1e-5),
+                           atol=config.sampling.get("atol", 1e-5), eps=eps)
   elif sampler_name.lower() == "heun":
     return get_heun_sampler(
         sde, model_def, shape, inverse_scaler,

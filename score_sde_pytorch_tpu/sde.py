@@ -282,6 +282,16 @@ class VESDE(SDE):
     return f, g
 
 
+def sampling_eps(config) -> float:
+  """Smallest integration time for samplers (reference run_lib.py:90-100:
+  1e-3 for VP/subVP, 1e-5 for VE). ``config.sampling.eps > 0`` overrides."""
+  if "sampling" in config:
+    eps = config.sampling.get("eps", -1.0)
+    if eps is not None and eps > 0:
+      return float(eps)
+  return 1e-5 if config.training.sde.lower() == "vesde" else 1e-3
+
+
 def build_sde(config):
   """Construct the SDE named in ``config.training.sde`` (reference ``run_lib.py:90-100``)."""
   name = config.training.sde.lower()

@@ -322,3 +322,49 @@ def test_ald_step_size_formula():
   want = want_mean + batch_mul(jnp.sqrt(step_size * 2), noise)
   np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean), rtol=1e-5)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_sampling_eps_per_sde_defaults():
+  """Reference run_lib.py:90-100: sampling_eps 1e-3 (VP/subVP), 1e-5 (VE)."""
+  import ml_collections
+  from tests.test_models import tiny_config
+
+  for sde_name, want in [("vesde", 1e-5), ("vpsde", 1e-3),
+                         ("subvpsde", 1e-3)]:
+    cfg = tiny_config()
+    cfg.training.sde = sde_name
+    assert sde_lib.sampling_eps(cfg) == want
+  # config override wins
+  cfg = tiny_config()
+  cfg.training.sde = "vesde"
+  cfg.sampling = ml_collections.ConfigDict({"eps": 1e-4})
+  assert sde_lib.sampling_eps(cfg) == 1e-4
+
+
+def test_sampler_knobs_config_exposed():
+  """rtol/atol/heun_steps/eps reachable from config files (VERDICT weak #7)."""
+  from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
+      get_config)
+  cfg = get_config()
+  assert cfg.sampling.rtol == 1e-5
+  assert cfg.sampling.atol == 1e-5
+  assert cfg.sampling.heun_steps == 50
+  assert cfg.sampling.eps <= 0  # per-SDE default resolution
+  assert sde_lib.sampling_eps(cfg) == 1e-5  # VE flagship
+
+
+def test_heun_steps_from_config():
+  import ml_collections
+  from tests.test_models import tiny_config
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+
+  cfg = tiny_config()
+  cfg.sampling = ml_collections.ConfigDict({
+      "method": "heun", "noise_removal": False, "heun_steps": 3})
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=8)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  fn = sampling.get_sampling_fn(cfg, sde, model_def, (2, 16, 16, 3),
+                                lambda x: x)
+  _, nfe = fn(jax.random.PRNGKey(1), variables["params"])
+  assert int(nfe) == 2 * 3  # 2 NFE per Heun step
