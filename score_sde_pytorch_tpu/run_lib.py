@@ -19,6 +19,7 @@ from score_sde_pytorch_tpu import likelihood as likelihood_lib
 from score_sde_pytorch_tpu import sde as sde_lib
 from score_sde_pytorch_tpu.models import utils as mutils  # noqa: F401
 from score_sde_pytorch_tpu.parallel.mesh import make_sharded_n_step
+from score_sde_pytorch_tpu.utils import io as io_utils
 from score_sde_pytorch_tpu.utils.image import make_grid, save_image
 
 try:
@@ -27,13 +28,20 @@ except ImportError:  # pragma: no cover
   SummaryWriter = None
 
 
+class _NullWriter:
+  def add_scalar(self, *a, **k): pass
+  def flush(self): pass
+
+
 def _writer(workdir: str):
   if SummaryWriter is None:
-    class _Null:
-      def add_scalar(self, *a, **k): pass
-      def flush(self): pass
-    return _Null()
-  return SummaryWriter(os.path.join(workdir, "tensorboard"))
+    return _NullWriter()
+  try:
+    return SummaryWriter(io_utils.localize(os.path.join(workdir,
+                                                        "tensorboard")))
+  except Exception:  # remote scheme tensorboardX can't reach
+    logging.warning("TensorBoard writer unavailable for %s", workdir)
+    return _NullWriter()
 
 
 def train(config, workdir: str) -> None:
@@ -43,10 +51,10 @@ def train(config, workdir: str) -> None:
   checkpoint writes, TensorBoard, and sample grids happen on host 0 only.
   """
   is_host0 = jax.process_index() == 0
-  os.makedirs(workdir, exist_ok=True)
+  io_utils.makedirs(workdir)
   writer = _writer(workdir)
   sample_dir = os.path.join(workdir, "samples")
-  os.makedirs(sample_dir, exist_ok=True)
+  io_utils.makedirs(sample_dir)
 
   rng = jax.random.PRNGKey(config.seed)
   rng, init_rng = jax.random.split(rng)
@@ -96,7 +104,12 @@ def train(config, workdir: str) -> None:
   batches_sharding = NamedSharding(mesh, P(None, "data"))
 
   def next_batches(it):
+    # Each process feeds its LOCAL shard (batch_size // process_count
+    # examples, disjoint across hosts — datasets.get_dataset); the global
+    # batch is assembled without any cross-host copy of the data itself.
     arr = np.stack([scaler(next(it)) for _ in range(n_jitted)])
+    if jax.process_count() > 1:
+      return jax.make_array_from_process_local_data(batches_sharding, arr)
     return jax.device_put(arr, batches_sharding)
 
   # Sampling setup (run_lib.py:104-110)
@@ -117,7 +130,8 @@ def train(config, workdir: str) -> None:
     jax.profiler.start_server(prof_port)
   trace_steps = config.training.get("trace_steps", 0)
   if trace_steps:
-    jax.profiler.start_trace(os.path.join(workdir, "profile"))
+    jax.profiler.start_trace(io_utils.localize(os.path.join(workdir,
+                                                            "profile")))
 
   step = initial_step
   t_last = time.time()
@@ -160,13 +174,23 @@ def train(config, workdir: str) -> None:
         rng, sample_rng = jax.random.split(rng)
         samples, _ = sampling_fn(sample_rng, state.ema.params)
         this_dir = os.path.join(sample_dir, f"iter_{step}")
-        os.makedirs(this_dir, exist_ok=True)
+        io_utils.makedirs(this_dir)
         samples_np = np.asarray(samples)
-        np.save(os.path.join(this_dir, "sample.np"), samples_np)
+        io_utils.save_npy(os.path.join(this_dir, "sample.np"), samples_np)
         nrow = int(np.sqrt(samples_np.shape[0]))
         save_image(make_grid(samples_np, nrow, padding=2),
                    os.path.join(this_dir, "sample.png"))
   writer.flush()
+
+
+def _epoch_batches(it) -> int:
+  """Exact number of batches in one pass over a finite split."""
+  n = getattr(it, "batches_per_epoch", None)
+  if n is None:
+    raise ValueError(
+        "eval needs an iterator with a known epoch size; the data source "
+        "does not expose one (batches_per_epoch is None).")
+  return max(1, int(n))
 
 
 def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
@@ -175,7 +199,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
   from score_sde_pytorch_tpu import evaluation
 
   eval_dir = os.path.join(workdir, eval_folder)
-  os.makedirs(eval_dir, exist_ok=True)
+  io_utils.makedirs(eval_dir)
 
   rng = jax.random.PRNGKey(config.seed + 1)
   rng, init_rng = jax.random.split(rng)
@@ -218,7 +242,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
           n_steps=config.sampling.n_steps_each,
           probability_flow=config.sampling.probability_flow,
           continuous=config.training.continuous,
-          denoise=config.sampling.noise_removal, mesh=mesh)
+          denoise=config.sampling.noise_removal,
+          eps=sde_lib.sampling_eps(config), mesh=mesh)
     else:
       sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
                                              sampling_shape, inverse_scaler)
@@ -240,14 +265,15 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_loss:
       all_losses = []
-      # one full pass over the eval split (reference run_lib.py:286-303)
-      n_batches = max(1, getattr(eval_iter, "batches_per_epoch",
-                                 10000 // config.eval.batch_size))
+      # one exact full pass over the eval split (reference run_lib.py:286-303
+      # iterates the finite eval_ds; our iterators are infinite but expose
+      # their true epoch size)
+      n_batches = _epoch_batches(eval_iter)
       for _ in range(n_batches):
         batch = jnp.asarray(scaler(next(eval_iter)))
         state, loss = eval_step(state, batch)
         all_losses.append(float(loss))
-      np.savez_compressed(
+      io_utils.save_npz(
           os.path.join(eval_dir, f"ckpt_{ckpt}_loss.npz"),
           all_losses=np.asarray(all_losses),
           mean_loss=np.mean(all_losses))
@@ -256,15 +282,14 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_bpd:
       bpds = []
-      n_batches = max(1, getattr(bpd_iter, "batches_per_epoch",
-                                 2048 // config.eval.batch_size)) \
-          * bpd_num_repeats
+      # test set repeated 5x for tighter CIs (reference run_lib.py:236-242)
+      n_batches = _epoch_batches(bpd_iter) * bpd_num_repeats
       for _ in range(n_batches):
         batch = jnp.asarray(scaler(next(bpd_iter)))
         rng, bpd_rng = jax.random.split(rng)
         bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
         bpds.extend(np.asarray(bpd).tolist())
-      np.savez_compressed(
+      io_utils.save_npz(
           os.path.join(eval_dir, f"{config.eval.bpd_dataset}_ckpt_{ckpt}_bpd.npz"),
           bpd=np.asarray(bpds))
       logging.info("ckpt %d: mean bpd %.4f", ckpt, float(np.mean(bpds)))
@@ -277,12 +302,12 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         samples, _ = sampling_fn(sample_rng, ema_params)
         samples_u8 = np.clip(np.asarray(samples) * 255.0, 0,
                              255).astype(np.uint8)
-        np.savez_compressed(
+        io_utils.save_npz(
             os.path.join(eval_dir, f"ckpt_{ckpt}_samples_{r}.npz"),
             samples=samples_u8)
         stats = evaluation.run_inception(samples_u8, config)
         if stats is not None:
-          np.savez_compressed(
+          io_utils.save_npz(
               os.path.join(eval_dir, f"ckpt_{ckpt}_statistics_{r}.npz"),
               **stats)
           all_pools.append(stats["pool_3"])
@@ -292,6 +317,6 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         scores = evaluation.compute_scores(
             np.concatenate(all_pools), config,
             logits=np.concatenate(all_logits) if all_logits else None)
-        np.savez_compressed(
+        io_utils.save_npz(
             os.path.join(eval_dir, f"report_{ckpt}.npz"), **scores)
         logging.info("ckpt %d: %s", ckpt, scores)
