@@ -7,6 +7,8 @@ PRNG threading, `deterministic` flags for dropout.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -15,6 +17,24 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Trace-scoped computation dtype for the NCSN-lineage convs (NCSNConv and
+# everything built on it). The NCSN++ family threads an explicit ``dtype``
+# attribute instead; the RefineNet zoo (CRP/RCU/MSF/Refine/Residual blocks)
+# picks this up from the enclosing model's scope.
+_CONV_DTYPE: contextvars.ContextVar = contextvars.ContextVar(
+    "ncsn_conv_dtype", default=None)
+
+
+@contextlib.contextmanager
+def conv_dtype(dtype):
+  """Set the computation dtype for NCSN-lineage convs in this trace scope
+  (params stay fp32; bf16 compute halves HBM traffic on TPU)."""
+  token = _CONV_DTYPE.set(dtype)
+  try:
+    yield
+  finally:
+    _CONV_DTYPE.reset(token)
 
 
 def get_act(name: str) -> Callable[[Array], Array]:
@@ -79,12 +99,18 @@ def ddpm_conv1x1(features, stride=1, use_bias=True, init_scale=1.0, name=None,
 
 
 def NCSNConv(features, kernel=3, stride=1, dilation=1, use_bias=True,
-             init_scale=1.0, padding="SAME", name=None):
-  """Conv with (scaled) torch-default init (reference layers.py:44,100)."""
+             init_scale=1.0, padding="SAME", name=None, dtype=None):
+  """Conv with (scaled) torch-default init (reference layers.py:44,100).
+
+  ``dtype`` is the computation dtype; when None it falls back to the
+  trace-scoped :func:`conv_dtype` setting (how the RefineNet models get
+  bf16 compute without threading a dtype through every block)."""
+  if dtype is None:
+    dtype = _CONV_DTYPE.get()
   return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                  kernel_dilation=(dilation, dilation), padding=padding,
                  use_bias=use_bias, kernel_init=ncsn_init(init_scale),
-                 bias_init=nn.initializers.zeros, name=name)
+                 bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 def ncsn_conv3x3(features, stride=1, use_bias=True, dilation=1, init_scale=1.0,

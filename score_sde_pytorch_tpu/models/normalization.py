@@ -21,6 +21,9 @@ def _embed_scale_init(key, shape, dtype=jnp.float32):
 
 
 def _instance_norm(x: Array, eps: float = 1e-5) -> Array:
+  # Statistics in fp32 regardless of compute dtype (bf16 models keep norms
+  # full-precision, same policy as NCSN++).
+  x = x.astype(jnp.float32)
   mean = jnp.mean(x, axis=(1, 2), keepdims=True)
   var = jnp.var(x, axis=(1, 2), keepdims=True)
   return (x - mean) * jax.lax.rsqrt(var + eps)
@@ -42,6 +45,7 @@ class VarianceNorm2d(nn.Module):
   @nn.compact
   def __call__(self, x: Array) -> Array:
     c = x.shape[-1]
+    x = x.astype(jnp.float32)
     alpha = self.param("alpha", _embed_scale_init, (c,))
     var = jnp.var(x, axis=(1, 2), keepdims=True)
     h = x * jax.lax.rsqrt(var + 1e-5)
@@ -64,6 +68,7 @@ class InstanceNorm2dPlus(nn.Module):
   @nn.compact
   def __call__(self, x: Array) -> Array:
     c = x.shape[-1]
+    x = x.astype(jnp.float32)
     alpha = self.param("alpha", _embed_scale_init, (c,))
     gamma = self.param("gamma", _embed_scale_init, (c,))
     means = jnp.mean(x, axis=(1, 2))  # [B, C]
@@ -100,6 +105,7 @@ class ConditionalInstanceNorm2dPlus(nn.Module):
 
     embed = self.param("embed", embed_init, (self.num_classes, n_emb))
     e = embed[y]  # [B, n_emb]
+    x = x.astype(jnp.float32)
     means = jnp.mean(x, axis=(1, 2))
     m = jnp.mean(means, axis=-1, keepdims=True)
     v = jnp.var(means, axis=-1, keepdims=True, ddof=1)
@@ -115,6 +121,35 @@ class ConditionalInstanceNorm2dPlus(nn.Module):
     if beta is not None:
       out = out + beta[:, None, None, :]
     return out
+
+
+class ConditionalBatchNorm2d(nn.Module):
+  """Class-conditional batch norm (reference normalization.py:43-65).
+
+  Non-affine batch normalization with per-class gamma (init U[0,1), the
+  reference's ``.uniform_()``) and beta (zeros) from an embedding table.
+  ``train`` toggles batch vs running statistics (torch train/eval); running
+  stats live in the ``batch_stats`` collection.
+  """
+  num_features: int
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x: Array, y: Array, train: bool = True) -> Array:
+    c = self.num_features
+    h = nn.BatchNorm(use_running_average=not train, use_bias=False,
+                     use_scale=False)(x)
+    if self.bias:
+      embed = self.param(
+          "embed",
+          lambda k, s: jnp.concatenate(
+              [jax.random.uniform(k, (s[0], c)), jnp.zeros((s[0], c))], axis=1),
+          (self.num_classes, 2 * c))
+      gamma, beta = embed[y][:, :c], embed[y][:, c:]
+      return gamma[:, None, None, :] * h + beta[:, None, None, :]
+    embed = self.param("embed", jax.random.uniform, (self.num_classes, c))
+    return embed[y][:, None, None, :] * h
 
 
 class ConditionalInstanceNorm2d(nn.Module):
@@ -148,6 +183,7 @@ class ConditionalVarianceNorm2d(nn.Module):
   @nn.compact
   def __call__(self, x: Array, y: Array) -> Array:
     c = self.num_features
+    x = x.astype(jnp.float32)
     embed = self.param("embed", _embed_scale_init, (self.num_classes, c))
     var = jnp.var(x, axis=(1, 2), keepdims=True)
     h = x * jax.lax.rsqrt(var + 1e-5)

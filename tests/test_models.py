@@ -301,3 +301,70 @@ def test_get_network_size_dispatch():
                     (256, v2.NCSNv2_256)):
     cfg = tiny_config(name="x", image_size=size)
     assert v2.get_network(cfg).func is cls
+
+
+def test_conditional_batchnorm2d():
+  """ConditionalBatchNorm2d (reference normalization.py:43-65): non-affine
+  BN + per-class gamma/beta embedding; running stats in batch_stats."""
+  from score_sde_pytorch_tpu.models.normalization import ConditionalBatchNorm2d
+
+  m = ConditionalBatchNorm2d(num_features=4, num_classes=3)
+  x = jax.random.normal(jax.random.PRNGKey(0), (6, 8, 8, 4)) * 3.0 + 1.0
+  y = jnp.array([0, 1, 2, 0, 1, 2])
+  variables = m.init(jax.random.PRNGKey(1), x, y, train=True)
+  assert "batch_stats" in variables
+  out, updates = m.apply(variables, x, y, train=True,
+                         mutable=["batch_stats"])
+  assert out.shape == x.shape
+  # gamma uniform / beta zero init: normalized then per-class scaled
+  emb = variables["params"]["embed"]
+  assert emb.shape == (3, 8)
+  np.testing.assert_allclose(emb[:, 4:], 0.0)
+  assert (emb[:, :4] >= 0).all() and (emb[:, :4] <= 1).all()
+  # per-class gamma actually multiplies the normalized activations
+  h = m.apply(variables, x, y, train=True, mutable=["batch_stats"])[0]
+  g = emb[np.asarray(y)][:, :4]
+  np.testing.assert_allclose(
+      np.asarray(h) / np.asarray(g)[:, None, None, :] * 2.0,
+      np.asarray(h * 2.0) / np.asarray(g)[:, None, None, :], rtol=1e-5)
+  # eval mode uses running stats without mutation
+  variables2 = {"params": variables["params"],
+                "batch_stats": updates["batch_stats"]}
+  out_eval = m.apply(variables2, x, y, train=False)
+  assert np.isfinite(np.asarray(out_eval)).all()
+  # no-bias variant: single gamma embedding
+  m2 = ConditionalBatchNorm2d(num_features=4, num_classes=3, bias=False)
+  v2 = m2.init(jax.random.PRNGKey(2), x, y, train=True)
+  assert v2["params"]["embed"].shape == (3, 4)
+
+
+@pytest.mark.parametrize("name", ["ncsnv2_64", "ncsn"])
+def test_refinenet_models_bf16_and_remat(name):
+  """dtype/remat options on the RefineNet family (API parity with NCSN++)."""
+  cfg = tiny_config(name=name, normalization="InstanceNorm++",
+                    nonlinearity="elu", scale_by_sigma=False)
+  cfg.model.dtype = "bfloat16"
+  cfg.model.remat = True
+  rng = jax.random.PRNGKey(0)
+  model_def, variables = mutils.create_model(cfg, rng)
+  # params stay fp32
+  assert all(p.dtype == jnp.float32
+             for p in jax.tree.leaves(variables["params"]))
+  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+  y = jnp.array([0.0, 3.0])
+  out = model_def.apply(variables, x, y, train=False)
+  assert out.shape == (2, 16, 16, 3)
+  assert out.dtype == jnp.float32  # output cast back up
+  assert np.isfinite(np.asarray(out)).all()
+  # bf16 result tracks the fp32 result
+  cfg32 = tiny_config(name=name, normalization="InstanceNorm++",
+                      nonlinearity="elu", scale_by_sigma=False)
+  model32, _ = mutils.create_model(cfg32, rng)
+  out32 = model32.apply(variables, x, y, train=False)
+  assert np.allclose(np.asarray(out), np.asarray(out32), atol=0.2, rtol=0.2)
+  # gradients flow through the remat blocks
+  def loss(params):
+    return jnp.sum(model_def.apply({"params": params}, x, y, train=False) ** 2)
+  g = jax.grad(loss)(variables["params"])
+  assert np.isfinite(float(jax.tree.reduce(
+      lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
