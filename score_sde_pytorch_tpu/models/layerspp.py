@@ -72,13 +72,13 @@ class AttnBlockpp(nn.Module):
     v = NIN(c, dtype=self.dtype, name="NIN_2")(hid)
     # Flatten the H·W grid before the contractions: [B, HW, C] matmuls tile
     # onto the MXU (the reference's bhwc,bijc->bhwij shape leaves 16-wide
-    # trailing dims — measured 20x off roofline). Identical math.
+    # trailing dims — measured 20x off roofline). Identical math. Grids
+    # ≥32² route to the Pallas flash kernel (O(N·C) memory, the logits
+    # never hit HBM) — the reference's O((HW)²) materialization is why it
+    # caps attention at 16² (layerspp.py:82-86).
     n = h * w
     qf, kf, vf = (z.reshape(b, n, c) for z in (q, k, v))
-    logits = jnp.einsum("bnc,bmc->bnm", qf, kf) * (c ** -0.5)
-    # softmax in fp32 for numerical stability
-    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bnm,bmc->bnc", attn.astype(vf.dtype), vf)
+    out = ops.attention_auto(qf, kf, vf)
     out = out.reshape(b, h, w, c)
     out = NIN(c, init_scale=self.init_scale, dtype=self.dtype,
               name="NIN_3")(out)

@@ -18,9 +18,15 @@ from score_sde_pytorch_tpu.ops.upfirdn2d import (
     setup_kernel,
 )
 from score_sde_pytorch_tpu.ops.fused_act import fused_leaky_relu
+from score_sde_pytorch_tpu.ops.attention import (
+    attention_auto,
+    dense_attention,
+    flash_attention,
+)
 
 __all__ = [
     "upfirdn2d", "upsample_2d", "downsample_2d", "upsample_conv_2d",
     "conv_downsample_2d", "naive_upsample_2d", "naive_downsample_2d",
-    "setup_kernel", "fused_leaky_relu",
+    "setup_kernel", "fused_leaky_relu", "attention_auto", "dense_attention",
+    "flash_attention",
 ]
