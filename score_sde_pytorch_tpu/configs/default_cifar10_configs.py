@@ -66,6 +66,12 @@ def get_default_configs():
   model.beta_max = 20.
   model.dropout = 0.1
   model.embedding_type = 'fourier'
+  # TPU-native model options (every model family): compute dtype, backward
+  # rematerialization, fused Pallas FIR, spatial activation sharding.
+  model.dtype = 'float32'
+  model.remat = False
+  model.fused_fir = False
+  model.spatial_sharding = False
 
   # optimization
   config.optim = optim = ml_collections.ConfigDict()

@@ -22,6 +22,8 @@ All tensors are NHWC (TPU-native layout; lane dim = channels).
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Sequence, Tuple, Union
 
@@ -103,6 +105,24 @@ def _upfirdn2d_impl(x: Array, kernel: Array, up: Tuple[int, int],
       feature_group_count=c)
 
 
+_FIR_BACKEND: contextvars.ContextVar = contextvars.ContextVar(
+    "fir_backend", default="xla")
+
+
+@contextlib.contextmanager
+def fir_backend(name: str):
+  """FIR execution backend for this trace scope: ``xla`` (default — one
+  fused conv_general_dilated per pass) or ``auto`` (the fused Pallas kernel
+  for separable cases that fit VMEM, XLA otherwise). Models enable the
+  Pallas path with ``config.model.fused_fir = True``."""
+  assert name in ("xla", "auto"), name
+  token = _FIR_BACKEND.set(name)
+  try:
+    yield
+  finally:
+    _FIR_BACKEND.reset(token)
+
+
 def upfirdn2d(x: Array, kernel: Array, up: int = 1, down: int = 1,
               pad: Tuple[int, int] = (0, 0)) -> Array:
   """Upsample→FIR→downsample an NHWC batch.
@@ -112,6 +132,18 @@ def upfirdn2d(x: Array, kernel: Array, up: int = 1, down: int = 1,
   ``(lo, hi)`` applied to both spatial axes; entries may be negative.
   Output spatial size: ``(in*up + pad0 + pad1 - k) // down + 1``.
   """
+  if _FIR_BACKEND.get() == "auto":
+    try:
+      k_np = np.asarray(kernel)  # concrete at trace time for static kernels
+    except Exception:
+      k_np = None
+    if k_np is not None and k_np.ndim == 1:
+      from score_sde_pytorch_tpu.ops import upfirdn2d_pallas as up_pallas
+      if up_pallas.pallas_eligible(x, k_np, up, down):
+        interpret = jax.devices()[0].platform != "tpu"
+        return up_pallas.upfirdn2d_pallas(
+            x, tuple(float(v) for v in k_np), up=up, down=down,
+            pad=tuple(pad), interpret=interpret)
   kernel = jnp.asarray(kernel)
   return _upfirdn2d_impl(x, kernel, (up, up), (down, down),
                          (pad[0], pad[1], pad[0], pad[1]))

@@ -111,14 +111,29 @@ def _out_len(n: int, up: int, down: int, pad: Tuple[int, int],
   return (n * up + pad[0] + pad[1] - klen) // down + 1
 
 
+def _c_tile(h: int, w: int, c: int, out_h: int, out_w: int,
+            itemsize: int) -> int:
+  """Largest channel tile (divisor of c) that keeps the block plus its
+  trace-time temporaries in VMEM. upfirdn2d is channelwise-independent, so
+  channel tiling needs no halo — the grid just grows a C dimension."""
+  per_c = _TEMP_FACTOR * (h * w + out_h * out_w) * itemsize
+  budget = max(1, _VMEM_LIMIT_BYTES // per_c)
+  for t in range(min(c, budget), 0, -1):
+    if c % t == 0:
+      return t
+  return 1
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "up", "down", "pad", "interpret"))
 def upfirdn2d_pallas(x: Array, k: Tuple[float, ...], up: int = 1,
                      down: int = 1, pad: Tuple[int, int] = (0, 0),
                      interpret: bool = False) -> Array:
-  """Fused separable upfirdn2d on NHWC via one Pallas kernel per batch row.
+  """Fused separable upfirdn2d on NHWC, one Pallas program per
+  (batch row, channel tile).
 
-  ``k`` is the 1-D (separable) FIR kernel as a static tuple.
+  ``k`` is the 1-D (separable) FIR kernel as a static tuple. Channel tiling
+  (halo-free — the op is channelwise) bounds VMEM for wide activations.
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
@@ -128,20 +143,22 @@ def upfirdn2d_pallas(x: Array, k: Tuple[float, ...], up: int = 1,
   klen = len(k)
   out_h = _out_len(h, up, down, pad, klen)
   out_w = _out_len(w, up, down, pad, klen)
+  tc = _c_tile(h, w, c, out_h, out_w, x.dtype.itemsize)
 
   def kernel(x_ref, o_ref):
-    blk = x_ref[0]  # [H, W, C]
+    blk = x_ref[0]  # [H, W, TC]
     blk = _apply_axis(blk, k, up, down, pad, axis=0, out_len=out_h)
     blk = _apply_axis(blk, k, up, down, pad, axis=1, out_len=out_w)
     o_ref[0] = blk
 
   return pl.pallas_call(
       kernel,
-      grid=(n,),
-      in_specs=[pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+      grid=(n, c // tc),
+      in_specs=[pl.BlockSpec((1, h, w, tc), lambda i, j: (i, 0, 0, j),
                              memory_space=pltpu.ANY if interpret
                              else pltpu.VMEM)],
-      out_specs=pl.BlockSpec((1, out_h, out_w, c), lambda i: (i, 0, 0, 0),
+      out_specs=pl.BlockSpec((1, out_h, out_w, tc),
+                             lambda i, j: (i, 0, 0, j),
                              memory_space=pltpu.ANY if interpret
                              else pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, c), x.dtype),
@@ -150,18 +167,20 @@ def upfirdn2d_pallas(x: Array, k: Tuple[float, ...], up: int = 1,
 
 
 def pallas_eligible(x: Array, k, up: int, down: int) -> bool:
-  """Whether the fused Pallas path applies (separable, fits VMEM, 2D ok)."""
+  """Whether the fused Pallas path applies (separable, 2D, some channel
+  tile fits VMEM)."""
   k = np.asarray(k)
   if k.ndim != 1:
     return False
   if up > 1 and down > 1:
     return False
   n, h, w, c = x.shape
-  in_bytes = h * w * c * x.dtype.itemsize
-  out_bytes = (_out_len(h, up, down, (len(k),) * 2, len(k)) + len(k)) * \
-      (_out_len(w, up, down, (len(k),) * 2, len(k)) + len(k)) * c * \
-      x.dtype.itemsize
-  return _TEMP_FACTOR * (in_bytes + out_bytes) < _VMEM_LIMIT_BYTES
+  klen = len(k)
+  out_h = _out_len(h, up, down, (klen,) * 2, klen)
+  out_w = _out_len(w, up, down, (klen,) * 2, klen)
+  # even a single channel must fit
+  per_c = _TEMP_FACTOR * (h * w + out_h * out_w) * x.dtype.itemsize
+  return per_c < _VMEM_LIMIT_BYTES
 
 
 def upfirdn2d_auto(x: Array, kernel, up: int = 1, down: int = 1,
