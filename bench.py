@@ -1,47 +1,139 @@
-"""Benchmark: PC-sampling throughput of the flagship CIFAR-10 NCSN++ model.
+"""Benchmark: flagship CIFAR-10 NCSN++ (cont. VE) — sampling + training.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Baseline derivation (BASELINE.md): the PyTorch reference trains at
-0.56 s/step on 4×V100 for batch 128; for sampling, the paper's PC sampler is
-N=1000 model evals × 2 (corrector) per batch. The reference has no published
-samples/sec; we derive the 4×V100 sampling throughput from its training
-fwd+bwd time: fwd ≈ 1/3 of fwd+bwd → one model eval for batch 128 ≈
-0.56/3 s on 4 chips → per-chip samples/sec for a full 2000-NFE PC chain:
-128 / (2000 * 0.56/3) / 4 ≈ 0.0857. vs_baseline = ours / 0.0857.
+Headline metric: PC-sampling throughput (samples/s/chip, batch 128, bf16
+inference, N=1000 predictor + 1 corrector step = 2000 NFE), matching the
+reference's paper sampler (reference sampling.py:355-411).
+
+Baselines (BASELINE.md / reference README.md:64-69 — all 4x V100 32GB,
+batch 128):
+  * training (MEASURED by the reference authors): 0.56 s/step torch,
+    i.e. 128 / 0.56 / 4 = 57.14 imgs/s/chip. `extra.train_vs_baseline`
+    is measured-vs-measured against this number.
+  * sampling (DERIVED — the reference publishes no samples/s): one model
+    eval ~ fwd ~ (fwd+bwd)/3 = 0.56/3 s for batch 128 on 4 chips, so a
+    2000-NFE PC chain yields 128 / (2000*0.56/3) / 4 = 0.0857
+    samples/s/chip. The headline `vs_baseline` uses this; it is soft,
+    which is why `extra.train_vs_baseline` (hard) is also reported.
+
+extra: train step_ms for fp32/bf16 x n_jitted_steps {1,5}, MFU of the
+bf16 train step from XLA-compiled FLOPs vs the chip's bf16 peak.
 """
 import json
 import time
 
-BASELINE_SAMPLES_PER_SEC_PER_CHIP = 128.0 / (2000 * 0.56 / 3) / 4  # ≈ 0.0857
+BASELINE_SAMPLES_PER_SEC_PER_CHIP = 128.0 / (2000 * 0.56 / 3) / 4  # ~0.0857
+BASELINE_TRAIN_IMGS_PER_SEC_PER_CHIP = 128.0 / 0.56 / 4            # 57.14
+
+# bf16 peak FLOP/s per chip by device kind (public spec sheets).
+_PEAK_BF16 = {
+    "v6e": 918e12, "v6": 918e12,
+    "v5e": 394e12, "v5lite": 394e12, "v5p": 459e12,
+    "v4": 275e12, "v3": 123e12, "v2": 45e12,
+}
 
 
-def main():
+def _peak_flops(device):
+  kind = getattr(device, "device_kind", "").lower().replace(" ", "")
+  for key, peak in _PEAK_BF16.items():
+    if key in kind:
+      return peak, key
+  return 394e12, "assumed-v5e"
+
+
+def _force(x):
+  # Completion is forced with a host fetch — block_until_ready does not
+  # reliably block on relayed TPU backends.
+  import numpy as np
+  import jax
+  return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def _median_ms(fn, args_fn, rounds):
+  import numpy as np
+  ts = []
+  for i in range(rounds):
+    args = args_fn(i)
+    t0 = time.time()
+    _force(fn(*args))
+    ts.append((time.time() - t0) * 1e3)
+  return float(np.median(ts))
+
+
+def bench_train(config, on_accelerator):
+  """Measured train-step times + MFU. Returns (extra_dict)."""
   import jax
   import jax.numpy as jnp
+  from score_sde_pytorch_tpu import losses, sde as sde_lib
+
+  batch = 128 if on_accelerator else 4
+  size = config.data.image_size
+  out = {}
+  mfu = None
+  for dtype in (["float32", "bfloat16"] if on_accelerator else ["float32"]):
+    config.model.dtype = dtype
+    sde = sde_lib.build_sde(config)
+    model_def, state = losses.init_train_state(config, jax.random.PRNGKey(0))
+    optimizer = losses.get_optimizer(config)
+    tag = {"float32": "fp32", "bfloat16": "bf16"}[dtype]
+    for n_jitted in ([1, 5] if on_accelerator else [1]):
+      n_step = jax.jit(
+          losses.get_n_step_fn(sde, model_def, train=True,
+                               optimizer=optimizer, n_steps=n_jitted,
+                               reduce_mean=config.training.reduce_mean,
+                               continuous=config.training.continuous,
+                               likelihood_weighting=False),
+          donate_argnums=0)
+      batches = jnp.zeros((n_jitted, batch, size, size, 3), jnp.float32)
+      if dtype == "bfloat16" and n_jitted == 1:
+        try:
+          compiled = n_step.lower(state, batches).compile()
+          cost = compiled.cost_analysis()
+          if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+          mfu_flops = float(cost.get("flops", 0.0))
+        except Exception:
+          mfu_flops = 0.0
+      state, _ = n_step(state, batches)        # compile + warmup
+      _force(state.step)
+      rounds = 5 if n_jitted == 1 else 3
+      import numpy as np
+      ts = []
+      for _ in range(rounds):
+        t0 = time.time()
+        state, _ = n_step(state, batches)
+        _force(state.step)
+        ts.append((time.time() - t0) * 1e3)
+      t_ms = float(np.median(ts)) / n_jitted
+      out[f"train_step_ms_{tag}_j{n_jitted}"] = round(t_ms, 2)
+      if dtype == "bfloat16" and n_jitted == 1 and mfu_flops > 0:
+        peak, kind = _peak_flops(jax.devices()[0])
+        mfu = mfu_flops / (t_ms / 1e3) / peak / jax.device_count()
+        out["mfu_bf16_train"] = round(mfu, 4)
+        out["mfu_peak_kind"] = kind
+  best = min(v for k, v in out.items() if k.startswith("train_step_ms"))
+  out["train_imgs_per_sec_per_chip"] = round(
+      batch / (best / 1e3) / jax.device_count(), 1)
+  if on_accelerator:
+    out["train_vs_baseline"] = round(
+        out["train_imgs_per_sec_per_chip"] /
+        BASELINE_TRAIN_IMGS_PER_SEC_PER_CHIP, 3)
+  return out
+
+
+def bench_sampling(config, on_accelerator):
+  """Headline: PC sampling throughput, batch 128 bf16."""
+  import jax
   from score_sde_pytorch_tpu import sampling, sde as sde_lib
   from score_sde_pytorch_tpu.models import utils as mutils
-  import score_sde_pytorch_tpu.models  # noqa: F401
-  from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
-      get_config)
 
-  config = get_config()
   # bf16 inference: the TPU-native serving precision (params stay fp32,
   # norms/softmax fp32 — see models/layerspp.py). Training default is fp32.
-  config.model.dtype = "bfloat16"
-
-  on_accelerator = jax.devices()[0].platform != "cpu"
-  if not on_accelerator:
-    # CPU fallback (driver sanity runs): shrink hard so the bench completes;
-    # the metric is only meaningful on TPU.
-    config.model.num_scales = 10
-    config.model.nf = 32
-    config.model.num_res_blocks = 2
-    config.model.dtype = "float32"
+  config.model.dtype = "bfloat16" if on_accelerator else "float32"
   sde = sde_lib.build_sde(config)
-
-  batch = 64 if on_accelerator else 4
-  shape = (batch, 32, 32, 3)
+  batch = 128 if on_accelerator else 4
+  shape = (batch, config.data.image_size, config.data.image_size, 3)
   model_def, variables = mutils.create_model(config, jax.random.PRNGKey(0))
   params = variables["params"]
 
@@ -52,28 +144,52 @@ def main():
       snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
       probability_flow=False, continuous=True, denoise=True)
 
-  import numpy as np
   rng = jax.random.PRNGKey(0)
-  # Warmup/compile. NOTE: completion is forced with a host fetch —
-  # block_until_ready does not reliably block on relayed TPU backends.
-  samples, nfe = sampler(rng, params)
-  np.asarray(samples)
+  _force(sampler(rng, params)[0])            # compile + warmup
+  rounds = 5 if on_accelerator else 1
+  t_ms = _median_ms(sampler, lambda i: (jax.random.fold_in(rng, i), params),
+                    rounds)
+  return batch / (t_ms / 1e3) / jax.device_count(), batch, rounds
 
-  n_rounds = 2 if on_accelerator else 1
-  t0 = time.time()
-  for i in range(n_rounds):
-    samples, nfe = sampler(jax.random.fold_in(rng, i), params)
-    np.asarray(samples)
-  dt = time.time() - t0
 
-  n_chips = jax.device_count()
-  samples_per_sec_per_chip = batch * n_rounds / dt / n_chips
+def main():
+  import jax
+  import score_sde_pytorch_tpu.models  # noqa: F401  (registry)
+  from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
+      get_config)
+
+  on_accelerator = jax.devices()[0].platform != "cpu"
+
+  def fresh_config():
+    config = get_config()
+    if not on_accelerator:
+      # CPU fallback (driver sanity runs): shrink hard so the bench
+      # completes; the metric is only meaningful on TPU.
+      config.model.num_scales = 10
+      config.model.nf = 32
+      config.model.num_res_blocks = 2
+    return config
+
+  extra = {"platform": jax.devices()[0].platform,
+           "device_kind": getattr(jax.devices()[0], "device_kind", "?")}
+  try:
+    extra.update(bench_train(fresh_config(), on_accelerator))
+  except Exception as e:  # sampling headline must survive a train failure
+    extra["train_error"] = repr(e)[:200]
+
+  samples_per_sec_per_chip, s_batch, s_rounds = bench_sampling(
+      fresh_config(), on_accelerator)
+  extra["sampling_batch"] = s_batch
+  extra["sampling_rounds"] = s_rounds
+  extra["sampling_nfe"] = 2000
+
   print(json.dumps({
       "metric": "samples/sec/chip (NCSN++ cont. VE PC sampling, CIFAR-10)",
       "value": round(samples_per_sec_per_chip, 4),
       "unit": "samples/s/chip",
       "vs_baseline": round(
           samples_per_sec_per_chip / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 3),
+      "extra": extra,
   }))
 
 

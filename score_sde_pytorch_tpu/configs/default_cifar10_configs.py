@@ -67,10 +67,9 @@ def get_default_configs():
   model.dropout = 0.1
   model.embedding_type = 'fourier'
   # TPU-native model options (every model family): compute dtype, backward
-  # rematerialization, fused Pallas FIR, spatial activation sharding.
+  # rematerialization, spatial activation sharding.
   model.dtype = 'float32'
   model.remat = False
-  model.fused_fir = False
   model.spatial_sharding = False
 
   # optimization

@@ -35,13 +35,7 @@ class NCSNpp(nn.Module):
   @nn.compact
   def __call__(self, x: Array, time_cond: Array,
                train: bool = False) -> Array:
-    from score_sde_pytorch_tpu.ops.upfirdn2d import fir_backend
-    # config.model.fused_fir routes FIR resampling through the fused Pallas
-    # kernel where eligible (ops/upfirdn2d_pallas.py); default is the XLA
-    # fused-conv path.
-    backend = "auto" if self.config.model.get("fused_fir", False) else "xla"
-    with fir_backend(backend):
-      return self._forward(x, time_cond, train)
+    return self._forward(x, time_cond, train)
 
   def _forward(self, x: Array, time_cond: Array,
                train: bool = False) -> Array:

@@ -22,8 +22,6 @@ All tensors are NHWC (TPU-native layout; lane dim = channels).
 """
 from __future__ import annotations
 
-import contextlib
-import contextvars
 import functools
 from typing import Sequence, Tuple, Union
 
@@ -49,11 +47,6 @@ def setup_kernel(k: Union[Sequence[float], np.ndarray]) -> np.ndarray:
   return k
 
 
-def _conv_spec(n_spatial: int = 2):
-  return lax.conv_dimension_numbers(
-      (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
-
-
 def _upfirdn_axis(x: Array, k1d: Array, up: int, down: int,
                   pad: Tuple[int, int], axis: int) -> Array:
   """One 1-D upfirdn pass along a spatial axis (1=H, 2=W) of an NHWC tensor."""
@@ -70,11 +63,14 @@ def _upfirdn_axis(x: Array, k1d: Array, up: int, down: int,
     lhs_dilation = (1, up)
     strides = (1, down)
     padding = ((0, 0), (pad[0], pad[1] + up - 1))
+  # HIGHEST precision: this is a pure FIR filter (4 MACs/output, bandwidth
+  # bound) and the reference CUDA kernel computes it in exact fp32; TPU's
+  # default conv precision would silently round the activations to bf16.
   return lax.conv_general_dilated(
       x, rhs.astype(x.dtype), window_strides=strides, padding=padding,
       lhs_dilation=lhs_dilation,
       dimension_numbers=("NHWC", "HWIO", "NHWC"),
-      feature_group_count=c)
+      feature_group_count=c, precision=lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down", "pad"))
@@ -102,25 +98,7 @@ def _upfirdn2d_impl(x: Array, kernel: Array, up: Tuple[int, int],
       padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
       lhs_dilation=(up_y, up_x),
       dimension_numbers=("NHWC", "HWIO", "NHWC"),
-      feature_group_count=c)
-
-
-_FIR_BACKEND: contextvars.ContextVar = contextvars.ContextVar(
-    "fir_backend", default="xla")
-
-
-@contextlib.contextmanager
-def fir_backend(name: str):
-  """FIR execution backend for this trace scope: ``xla`` (default — one
-  fused conv_general_dilated per pass) or ``auto`` (the fused Pallas kernel
-  for separable cases that fit VMEM, XLA otherwise). Models enable the
-  Pallas path with ``config.model.fused_fir = True``."""
-  assert name in ("xla", "auto"), name
-  token = _FIR_BACKEND.set(name)
-  try:
-    yield
-  finally:
-    _FIR_BACKEND.reset(token)
+      feature_group_count=c, precision=lax.Precision.HIGHEST)
 
 
 def upfirdn2d(x: Array, kernel: Array, up: int = 1, down: int = 1,
@@ -131,19 +109,14 @@ def upfirdn2d(x: Array, kernel: Array, up: int = 1, down: int = 1,
   (op/upfirdn2d.py:145-156) with NHWC instead of NCHW. ``pad`` is
   ``(lo, hi)`` applied to both spatial axes; entries may be negative.
   Output spatial size: ``(in*up + pad0 + pad1 - k) // down + 1``.
+
+  This fused-conv expression IS the fast path on TPU: a hand-written Pallas
+  kernel (two VMEM-resident 1-D passes, removed 2026-08) measured 0.44-0.88x
+  of this path on every NCSN++ hot shape on v5e and VMEM-OOMed on 256px
+  trunk shapes, so — unlike the reference's CUDA kernel, which beats
+  unfused torch ops on GPU — the XLA lowering wins outright here (see
+  PARITY.md "Pallas upfirdn2d" for the measurements).
   """
-  if _FIR_BACKEND.get() == "auto":
-    try:
-      k_np = np.asarray(kernel)  # concrete at trace time for static kernels
-    except Exception:
-      k_np = None
-    if k_np is not None and k_np.ndim == 1:
-      from score_sde_pytorch_tpu.ops import upfirdn2d_pallas as up_pallas
-      if up_pallas.pallas_eligible(x, k_np, up, down):
-        interpret = jax.devices()[0].platform != "tpu"
-        return up_pallas.upfirdn2d_pallas(
-            x, tuple(float(v) for v in k_np), up=up, down=down,
-            pad=tuple(pad), interpret=interpret)
   kernel = jnp.asarray(kernel)
   return _upfirdn2d_impl(x, kernel, (up, up), (down, down),
                          (pad[0], pad[1], pad[0], pad[1]))

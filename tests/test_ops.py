@@ -165,106 +165,19 @@ def test_fused_leaky_relu_pallas_interpret_matches():
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused separable upfirdn2d vs the XLA reference path
+# FIR precision on TPU
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("up,down,pad", [
-    (2, 1, (2, 1)),     # upsample_2d(k4, factor 2)
-    (1, 2, (1, 1)),     # downsample_2d(k4, factor 2)
-    (1, 1, (3, 2)),     # post-conv FIR (upsample_conv_2d tail)
-    (2, 1, (3, 1)),
-    (1, 1, (0, 0)),
-])
-def test_upfirdn2d_pallas_matches_xla(up, down, pad):
-  from score_sde_pytorch_tpu.ops.upfirdn2d_pallas import upfirdn2d_auto
-  import jax.numpy as jnp
-  x = jnp.asarray(_x(2, 8, 8, 4))
-  k1d = np.array([1., 3., 3., 1.]) / 8.0
-  want = ops.upfirdn2d(x, jnp.asarray(k1d), up=up, down=down, pad=pad)
-  got = upfirdn2d_auto(x, k1d, up=up, down=down, pad=pad, interpret=True)
-  assert got.shape == want.shape
-  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                             rtol=1e-4, atol=1e-5)
 
-
-def test_upfirdn2d_pallas_k2_kernel():
-  from score_sde_pytorch_tpu.ops.upfirdn2d_pallas import upfirdn2d_auto
-  import jax.numpy as jnp
-  x = jnp.asarray(_x(1, 6, 6, 2))
-  k1d = np.array([1., 1.]) / 2.0
-  want = ops.upfirdn2d(x, jnp.asarray(k1d), up=2, down=1, pad=(1, 0))
-  got = upfirdn2d_auto(x, k1d, up=2, down=1, pad=(1, 0), interpret=True)
-  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                             rtol=1e-4, atol=1e-5)
-
-
-def test_upfirdn2d_pallas_fallback_2d_kernel():
-  """Non-separable kernels route to the XLA path."""
-  from score_sde_pytorch_tpu.ops.upfirdn2d_pallas import (
-      pallas_eligible, upfirdn2d_auto)
-  import jax.numpy as jnp
-  x = jnp.asarray(_x(1, 6, 6, 2))
-  k2 = np.outer([1., 2.], [1., 3.])
-  k2 = k2 / k2.sum()
-  assert not pallas_eligible(x, k2, 1, 1)
-  got = upfirdn2d_auto(x, k2, up=1, down=1, pad=(1, 0))
-  want = ops.upfirdn2d(x, jnp.asarray(k2), up=1, down=1, pad=(1, 0))
-  np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
-
-
-def test_fused_fir_model_forward_matches_xla():
-  """config.model.fused_fir routes FIR through the Pallas kernel (interpret
-  on CPU) and the model output is unchanged (VERDICT r1 weak #2)."""
+def test_upfirdn2d_requests_full_precision():
+  """The FIR depthwise convs must request Precision.HIGHEST: on TPU the
+  default conv precision silently rounds activations to bf16 (measured
+  ~2e-3 abs error vs fp64 on v5e), while the reference CUDA kernel
+  (op/upfirdn2d_kernel.cu) is exact fp32. Pinned via the lowered HLO."""
   import jax
-  from tests.test_models import tiny_config
-  from score_sde_pytorch_tpu.models import utils as mutils
-  import score_sde_pytorch_tpu.models  # noqa: F401
-
-  cfg = tiny_config(fir=True)
-  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
-  x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 0.2 + 0.5
-  t = jnp.asarray([4.3, 25.0])
-  base = model_def.apply(variables, x, t, train=False)
-
-  cfg.model.fused_fir = True
-  model_fused, _ = mutils.create_model(cfg, jax.random.PRNGKey(0))
-  fused = model_fused.apply(variables, x, t, train=False)
-  np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
-                             atol=1e-5, rtol=1e-5)
-
-
-def test_fir_backend_auto_dispatches_to_pallas(monkeypatch):
-  import importlib
-  # the ops package re-exports the function under the same name; fetch the
-  # module itself
-  u = importlib.import_module("score_sde_pytorch_tpu.ops.upfirdn2d")
-  from score_sde_pytorch_tpu.ops import upfirdn2d_pallas as up
-
-  calls = []
-  real = up.upfirdn2d_pallas
-  monkeypatch.setattr(up, "upfirdn2d_pallas",
-                      lambda *a, **k: calls.append(1) or real(*a, **k))
-  x = jnp.ones((1, 8, 8, 4))
+  x = jnp.zeros((1, 8, 8, 4))
   k = jnp.asarray([1.0, 3.0, 3.0, 1.0]) / 8.0
-  with u.fir_backend("auto"):
-    out_auto = u.upfirdn2d(x, k, up=2, pad=(2, 1))
-  assert calls, "auto backend did not reach the Pallas kernel"
-  out_xla = u.upfirdn2d(x, k, up=2, pad=(2, 1))
-  np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla),
-                             atol=1e-6)
+  hlo = jax.jit(lambda a: ops.upfirdn2d(a, k, up=2, pad=(2, 1))).lower(
+      x).as_text()
+  assert "HIGHEST" in hlo, "FIR conv lost its full-precision annotation"
 
-
-def test_channel_tiling_covers_wide_activations():
-  """The r1 kernel VMEM-OOMed above ~16x16x256; channel tiling must make
-  32x32x256 (and the 256px trunk shapes) eligible."""
-  from score_sde_pytorch_tpu.ops import upfirdn2d_pallas as up
-  k = np.asarray([1.0, 3.0, 3.0, 1.0]) / 8.0
-  assert up.pallas_eligible(jnp.zeros((1, 32, 32, 256)), k, 2, 1)
-  assert up.pallas_eligible(jnp.zeros((1, 64, 64, 512)), k, 1, 2)
-  # correctness at a shape that needs channel tiling (tile < C)
-  x = np.random.default_rng(0).normal(size=(1, 32, 32, 256)).astype(np.float32)
-  got = up.upfirdn2d_pallas(jnp.asarray(x), tuple(k), up=2, pad=(2, 1),
-                            interpret=True)
-  from score_sde_pytorch_tpu.ops.upfirdn2d import upfirdn2d
-  want = upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=2, pad=(2, 1))
-  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -1,9 +1,15 @@
-"""One-shot TPU measurement: Pallas upfirdn2d and flash attention vs XLA.
+"""One-shot TPU measurement: flash attention vs dense + NCSN++ e2e forward.
 
 Batched into a single script (remote compiles are minutes each; run once,
-detached). Produces JSON lines with e2e NCSN++ forward times at 32px/256px
-with fused_fir on/off, micro benches for upfirdn2d and attention, and an
-exactness check of the compiled kernels on real TPU.
+detached). Produces JSON lines with micro benches for the Pallas flash
+attention vs the dense-logits path, an exactness check of the compiled
+kernel on real TPU, and e2e NCSN++ forward times at 32px/256px.
+
+Historical note (2026-08, v5e): this script also measured a fused Pallas
+upfirdn2d kernel against the XLA conv path; the Pallas kernel lost on every
+NCSN++ hot shape (0.44-0.88x) and VMEM-OOMed on 256px trunk shapes, so it
+was removed — the single fused `lax.conv_general_dilated` IS the TPU fast
+path. Flash attention won (1.19-1.60x at 32sq/64sq grids) and stayed.
 
     python tools/tpu_kernel_measure.py [--skip-256]
 """
@@ -39,52 +45,6 @@ def main():
 
   out = {"platform": jax.devices()[0].platform}
 
-  # ---- micro: upfirdn2d pallas vs xla, looped in-jit to defeat dispatch ---
-  import importlib
-  u = importlib.import_module("score_sde_pytorch_tpu.ops.upfirdn2d")
-  from score_sde_pytorch_tpu.ops import upfirdn2d_pallas as up
-
-  k = tuple((np.asarray([1., 3., 3., 1.]) / 8.0).tolist())
-  LOOP = 50
-  for (h, w, c, upf, downf, tag) in [
-      (32, 32, 256, 2, 1, "up2_32x32x256"),
-      (64, 64, 128, 1, 2, "down2_64x64x128"),
-      (128, 128, 128, 2, 1, "up2_128x128x128"),
-  ]:
-    x = jnp.asarray(np.random.default_rng(0).normal(
-        size=(8, h, w, c)).astype(np.float32))
-    pad_up = ((len(k) - upf + 1) // 2 + upf - 1, (len(k) - upf) // 2)
-    pad_dn = ((len(k) - downf + 1) // 2, (len(k) - downf) // 2)
-    pad = pad_up if upf > 1 else pad_dn
-
-    @jax.jit
-    def loop_pallas(x):
-      def body(h, _):
-        y = up.upfirdn2d_pallas(x, k, up=upf, down=downf, pad=pad)
-        return h + jnp.sum(y), None
-      s, _ = jax.lax.scan(body, 0.0, None, length=LOOP)
-      return s
-
-    @jax.jit
-    def loop_xla(x):
-      def body(h, _):
-        y = u.upfirdn2d(x, jnp.asarray(k), up=upf, down=downf, pad=pad)
-        return h + jnp.sum(y), None
-      s, _ = jax.lax.scan(body, 0.0, None, length=LOOP)
-      return s
-
-    # exactness of the compiled kernel on TPU
-    got = _force(up.upfirdn2d_pallas(x, k, up=upf, down=downf, pad=pad))
-    want = _force(u.upfirdn2d(x, jnp.asarray(k), up=upf, down=downf, pad=pad))
-    exact = bool(np.allclose(got, want, atol=1e-4))
-    t_p = _time_ms(loop_pallas, x) / LOOP
-    t_x = _time_ms(loop_xla, x) / LOOP
-    out[f"upfirdn_{tag}"] = {"pallas_ms": round(t_p, 4),
-                             "xla_ms": round(t_x, 4),
-                             "speedup": round(t_x / t_p, 3),
-                             "exact": exact}
-    print(json.dumps({f"upfirdn_{tag}": out[f"upfirdn_{tag}"]}), flush=True)
-
   # ---- micro: flash attention vs dense --------------------------------
   from score_sde_pytorch_tpu.ops import attention as attn
   for (n, c, tag) in [(1024, 128, "32sq_c128"), (4096, 128, "64sq_c128"),
@@ -96,18 +56,20 @@ def main():
 
     LOOPA = 20
 
+    # NOTE: the scan body perturbs q with the carry so XLA cannot hoist the
+    # loop-invariant op out of the scan.
     @jax.jit
     def loop_flash(q, kk, v):
       def body(h, _):
-        return h + jnp.sum(attn.flash_attention(q, kk, v)), None
-      s, _ = jax.lax.scan(body, 0.0, None, length=LOOPA)
+        return jnp.mean(attn.flash_attention(q + h, kk, v)), None
+      s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=LOOPA)
       return s
 
     @jax.jit
     def loop_dense(q, kk, v):
       def body(h, _):
-        return h + jnp.sum(attn.dense_attention(q, kk, v)), None
-      s, _ = jax.lax.scan(body, 0.0, None, length=LOOPA)
+        return jnp.mean(attn.dense_attention(q + h, kk, v)), None
+      s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=LOOPA)
       return s
 
     got = _force(attn.flash_attention(q, kk, v))
@@ -120,18 +82,15 @@ def main():
                           "speedup": round(t_d / t_f, 3), "exact": exact}
     print(json.dumps({f"attn_{tag}": out[f"attn_{tag}"]}), flush=True)
 
-  # ---- e2e: NCSN++ forward with fused_fir on/off -----------------------
+  # ---- e2e: NCSN++ forward ---------------------------------------------
   from score_sde_pytorch_tpu.models import utils as mutils
   import score_sde_pytorch_tpu.models  # noqa: F401
   from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
       get_config)
 
-  def e2e(size, batch, fused, skip=False):
-    if skip:
-      return None
+  def e2e(size, batch):
     config = get_config()
     config.data.image_size = size
-    config.model.fused_fir = fused
     if size >= 256:
       # church/bedroom 256px architecture (configs/ve/church_...)
       config.model.ch_mult = (1, 1, 2, 2, 2, 2, 2)
@@ -152,11 +111,8 @@ def main():
   for size, batch in [(32, 128), (256, 8)]:
     if size == 256 and skip256:
       continue
-    t_off = e2e(size, batch, fused=False)
-    t_on = e2e(size, batch, fused=True)
-    out[f"ncsnpp_fwd_{size}px"] = {
-        "xla_ms": round(t_off, 2), "fused_fir_ms": round(t_on, 2),
-        "speedup": round(t_off / t_on, 3)}
+    out[f"ncsnpp_fwd_{size}px"] = {"ms": round(e2e(size, batch), 2),
+                                   "batch": batch}
     print(json.dumps({f"ncsnpp_fwd_{size}px": out[f"ncsnpp_fwd_{size}px"]}),
           flush=True)
 
