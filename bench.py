@@ -85,7 +85,8 @@ def bench_train(config, on_accelerator):
                                optimizer=optimizer, n_steps=n_jitted,
                                reduce_mean=config.training.reduce_mean,
                                continuous=config.training.continuous,
-                               likelihood_weighting=False),
+                               likelihood_weighting=False,
+                               prng_impl=config.training.get("prng_impl")),
           donate_argnums=0)
       batches = jnp.zeros((n_jitted, batch, size, size, 3), jnp.float32)
       if dtype == "bfloat16" and n_jitted == 1:
@@ -146,7 +147,9 @@ def bench_sampling(config, on_accelerator):
       snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
       probability_flow=False, continuous=True, denoise=True)
 
-  rng = jax.random.PRNGKey(0)
+  from score_sde_pytorch_tpu import losses
+  rng = losses.as_prng_impl(jax.random.PRNGKey(0),
+                            config.training.get("prng_impl"))
   _force(sampler(rng, params)[0])            # compile + warmup
   rounds = 5 if on_accelerator else 1
   t_ms = _median_ms(sampler, lambda i: (jax.random.fold_in(rng, i), params),

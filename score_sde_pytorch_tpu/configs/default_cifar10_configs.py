@@ -18,7 +18,15 @@ def get_default_configs():
   training.reduce_mean = False
   # TPU-native additions: how many optimizer steps fuse into one jitted scan
   # (the JAX original's n_jitted_steps — reference losses.py:180 docstring).
-  training.n_jitted_steps = 1
+  # 5 measured 31% faster than 1 on v5e (98 vs 141 ms/step, batch 128 bf16):
+  # per-dispatch overhead amortizes across the scanned steps.
+  training.n_jitted_steps = 5
+  # PRNG impl for per-step random bits (loss t/z draws, dropout masks).
+  # 'rbg' = TPU hardware RngBitGenerator — measured 22% faster train step
+  # than software threefry (86 -> 67 ms, v5e batch 128 bf16;
+  # tools/train_ablation2.py). Checkpointed keys stay threefry either way;
+  # set to 'threefry2x32' for cross-backend bit-exact reproducibility.
+  training.prng_impl = 'rbg'
 
   # sampling
   config.sampling = sampling = ml_collections.ConfigDict()

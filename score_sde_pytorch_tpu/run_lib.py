@@ -88,16 +88,19 @@ def train(config, workdir: str) -> None:
   continuous = config.training.continuous
   reduce_mean = config.training.reduce_mean
   likelihood_weighting = config.training.likelihood_weighting
+  prng_impl = config.training.get("prng_impl", None)
   train_step = make_sharded_n_step(
       losses.get_n_step_fn(sde, model_def, train=True, optimizer=optimizer,
                            n_steps=n_jitted, reduce_mean=reduce_mean,
                            continuous=continuous,
-                           likelihood_weighting=likelihood_weighting),
+                           likelihood_weighting=likelihood_weighting,
+                           prng_impl=prng_impl),
       mesh)
   eval_step = make_sharded_n_step(
       losses.get_n_step_fn(sde, model_def, train=False, n_steps=n_jitted,
                            reduce_mean=reduce_mean, continuous=continuous,
-                           likelihood_weighting=likelihood_weighting),
+                           likelihood_weighting=likelihood_weighting,
+                           prng_impl=prng_impl),
       mesh, donate_state=False)
 
   from jax.sharding import NamedSharding, PartitionSpec as P
@@ -172,6 +175,7 @@ def train(config, workdir: str) -> None:
 
       if config.training.snapshot_sampling and is_host0:
         rng, sample_rng = jax.random.split(rng)
+        sample_rng = losses.as_prng_impl(sample_rng, prng_impl)
         samples, _ = sampling_fn(sample_rng, state.ema.params)
         this_dir = os.path.join(sample_dir, f"iter_{step}")
         io_utils.makedirs(this_dir)
@@ -211,10 +215,12 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
   _, eval_iter = datasets.get_dataset(config, evaluation=True)
 
   continuous = config.training.continuous
+  prng_impl = config.training.get("prng_impl", None)
   eval_step = jax.jit(losses.get_step_fn(
       sde, model_def, train=False, reduce_mean=config.training.reduce_mean,
       continuous=continuous,
-      likelihood_weighting=config.training.likelihood_weighting))
+      likelihood_weighting=config.training.likelihood_weighting,
+      prng_impl=prng_impl))
 
   if config.eval.enable_bpd:
     likelihood_fn = likelihood_lib.get_likelihood_fn(sde, model_def,
@@ -287,6 +293,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
       for _ in range(n_batches):
         batch = jnp.asarray(scaler(next(bpd_iter)))
         rng, bpd_rng = jax.random.split(rng)
+        bpd_rng = losses.as_prng_impl(bpd_rng, prng_impl)
         bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
         bpds.extend(np.asarray(bpd).tolist())
       io_utils.save_npz(
@@ -299,6 +306,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
       all_pools, all_logits = [], []
       for r in range(num_rounds):
         rng, sample_rng = jax.random.split(rng)
+        sample_rng = losses.as_prng_impl(sample_rng, prng_impl)
         samples, _ = sampling_fn(sample_rng, ema_params)
         samples_u8 = np.clip(np.asarray(samples) * 255.0, 0,
                              255).astype(np.uint8)
