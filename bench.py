@@ -19,8 +19,10 @@ batch 128):
     samples/s/chip. The headline `vs_baseline` uses this; it is soft,
     which is why `extra.train_vs_baseline` (hard) is also reported.
 
-extra: train step_ms for fp32/bf16 x n_jitted_steps {1,5}, MFU of the
-bf16 train step from XLA-compiled FLOPs vs the chip's bf16 peak.
+extra: train step_ms for fp32 x n_jitted {1,5} and bf16 x n_jitted
+{1,5,10} (config default prng_impl='rbg' — hardware RngBitGenerator,
+measured 22% over threefry, tools/train_ablation2.py), MFU of the bf16
+train step from XLA-compiled FLOPs vs the chip's bf16 peak.
 """
 import json
 import time
@@ -79,7 +81,9 @@ def bench_train(config, on_accelerator):
     model_def, state = losses.init_train_state(config, jax.random.PRNGKey(0))
     optimizer = losses.get_optimizer(config)
     tag = {"float32": "fp32", "bfloat16": "bf16"}[dtype]
-    for n_jitted in ([1, 5] if on_accelerator else [1]):
+    n_jitted_grid = [1] if not on_accelerator else (
+        [1, 5, 10] if dtype == "bfloat16" else [1, 5])
+    for n_jitted in n_jitted_grid:
       n_step = jax.jit(
           losses.get_n_step_fn(sde, model_def, train=True,
                                optimizer=optimizer, n_steps=n_jitted,

@@ -82,7 +82,7 @@ class DDPM(nn.Module):
                             name=f"up_{i_level}_upsample")(h)
 
     assert not hs
-    h = act(nn.GroupNorm(num_groups=layers._legacy_groups(h.shape[-1]), epsilon=1e-6, name="norm_out")(h))
+    h = act(layers.GroupNorm(num_groups=layers._legacy_groups(h.shape[-1]), epsilon=1e-6, name="norm_out")(h))
     h = conv3x3(x.shape[-1], init_scale=0.0, name="conv_out")(h)
 
     if config.model.scale_by_sigma:

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from score_sde_pytorch_tpu import ops
 from score_sde_pytorch_tpu.models.layers import (
-    NIN, ddpm_conv1x1, ddpm_conv3x3, default_init)
+    NIN, GroupNorm, ddpm_conv1x1, ddpm_conv3x3, default_init)
 
 Array = jax.Array
 conv1x1 = ddpm_conv1x1
@@ -65,8 +65,8 @@ class AttnBlockpp(nn.Module):
   @nn.compact
   def __call__(self, x: Array) -> Array:
     b, h, w, c = x.shape
-    hid = nn.GroupNorm(num_groups=min(c // 4, 32), epsilon=1e-6,
-                       dtype=jnp.float32, name="GroupNorm_0")(x)
+    hid = GroupNorm(num_groups=min(c // 4, 32), epsilon=1e-6,
+                    name="GroupNorm_0")(x)
     q = NIN(c, dtype=self.dtype, name="NIN_0")(hid)
     k = NIN(c, dtype=self.dtype, name="NIN_1")(hid)
     v = NIN(c, dtype=self.dtype, name="NIN_2")(hid)
@@ -196,15 +196,15 @@ class ResnetBlockDDPMpp(nn.Module):
                deterministic: bool = True) -> Array:
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
-    h = self.act(nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                              dtype=jnp.float32, name="GroupNorm_0")(x))
+    h = self.act(GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                           name="GroupNorm_0")(x))
     h = conv3x3(out_ch, dtype=self.dtype, name="Conv_0")(h)
     if temb is not None:
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros, dtype=self.dtype,
                     name="Dense_0")(self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                              dtype=jnp.float32, name="GroupNorm_1")(h))
+    h = self.act(GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
+                           name="GroupNorm_1")(h))
     h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
     h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
                 name="Conv_1")(h)
@@ -238,8 +238,8 @@ class ResnetBlockBigGANpp(nn.Module):
                deterministic: bool = True) -> Array:
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
-    h = self.act(nn.GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
-                              dtype=jnp.float32, name="GroupNorm_0")(x))
+    h = self.act(GroupNorm(num_groups=min(in_ch // 4, 32), epsilon=1e-6,
+                           name="GroupNorm_0")(x))
     if self.up:
       if self.fir:
         h = ops.upsample_2d(h, self.fir_kernel, factor=2)
@@ -259,8 +259,8 @@ class ResnetBlockBigGANpp(nn.Module):
       h += nn.Dense(out_ch, kernel_init=default_init(),
                     bias_init=nn.initializers.zeros, dtype=self.dtype,
                     name="Dense_0")(self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
-                              dtype=jnp.float32, name="GroupNorm_1")(h))
+    h = self.act(GroupNorm(num_groups=min(out_ch // 4, 32), epsilon=1e-6,
+                           name="GroupNorm_1")(h))
     h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
     h = conv3x3(out_ch, init_scale=self.init_scale, dtype=self.dtype,
                 name="Conv_1")(h)

@@ -199,13 +199,13 @@ class NCSNpp(nn.Module):
       if progressive != "none":
         if i_level == num_resolutions - 1:
           if progressive == "output_skip":
-            pyramid = act(nn.GroupNorm(
+            pyramid = act(layers.GroupNorm(
                 num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6,
                 name=f"pyramid_norm_{i_level}")(h))
             pyramid = conv3x3(x.shape[-1], init_scale=init_scale,
                               name=f"pyramid_conv_{i_level}")(pyramid)
           elif progressive == "residual":
-            pyramid = act(nn.GroupNorm(
+            pyramid = act(layers.GroupNorm(
                 num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6,
                 name=f"pyramid_norm_{i_level}")(h))
             pyramid = conv3x3(h.shape[-1], name=f"pyramid_conv_{i_level}")(pyramid)
@@ -216,7 +216,7 @@ class NCSNpp(nn.Module):
             pyramid = layerspp.Upsample(
                 fir=fir, fir_kernel=fir_kernel, with_conv=False,
                 name=f"pyramid_upsample_{i_level}")(pyramid)
-            pyramid_h = act(nn.GroupNorm(
+            pyramid_h = act(layers.GroupNorm(
                 num_groups=min(h.shape[-1] // 4, 32), epsilon=1e-6,
                 name=f"pyramid_norm_{i_level}")(h))
             pyramid_h = conv3x3(x.shape[-1], init_scale=init_scale,
@@ -250,7 +250,7 @@ class NCSNpp(nn.Module):
     if progressive == "output_skip":
       h = pyramid
     else:
-      h = act(nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
+      h = act(layers.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
                            epsilon=1e-6, name="norm_out")(h))
       h = conv3x3(x.shape[-1], init_scale=init_scale, name="conv_out")(h)
 

@@ -229,5 +229,6 @@ def get_normalization(config, conditional: bool = False):
   if norm == "VarianceNorm":
     return VarianceNorm2d
   if norm == "GroupNorm":
-    return nn.GroupNorm
+    from score_sde_pytorch_tpu.models.layers import GroupNorm
+    return GroupNorm
   raise ValueError(f"Unknown normalization: {norm}")
