@@ -37,7 +37,8 @@ def probe(config, batch, tag, dtype):
   step = jax.jit(
       losses.get_step_fn(sde, model_def, train=True, optimizer=optimizer,
                          reduce_mean=config.training.reduce_mean,
-                         continuous=config.training.continuous),
+                         continuous=config.training.continuous,
+                         prng_impl=config.training.get("prng_impl")),
       donate_argnums=0)
   size = config.data.image_size
   x = jnp.zeros((batch, size, size, 3), jnp.float32)
