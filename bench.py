@@ -130,7 +130,8 @@ def bench_train(config, on_accelerator):
 
 
 def bench_sampling(config, on_accelerator):
-  """Headline: PC sampling throughput, batch 128 bf16."""
+  """Headline: PC sampling throughput, batch 64 bf16 (measured-optimal;
+  tools/sampling_batch_sweep.py — 128 is a local dip)."""
   import jax
   from score_sde_pytorch_tpu import sampling, sde as sde_lib
   from score_sde_pytorch_tpu.models import utils as mutils

@@ -189,6 +189,10 @@ def as_prng_impl(key: Array, impl: Optional[str]) -> Array:
   if impl in (None, "threefry2x32"):
     return key
   data = jax.random.key_data(key)
+  # The 128-bit rbg key is derived from 64 bits of threefry key material
+  # (second half is a correlated golden-ratio mix), i.e. deliberately only
+  # 2^64 distinct streams — ample for per-step training bits, and keeps the
+  # derivation a cheap pure function of the carried threefry key.
   data4 = jnp.concatenate([data, data ^ jnp.uint32(0x9E3779B9)])
   return jax.random.wrap_key_data(data4, impl=impl)
 

@@ -162,6 +162,10 @@ class GroupNorm(nn.Module):
     mean = jnp.mean(xg, axis=red_axes, keepdims=True)
     var = jnp.mean(jnp.square(xg), axis=red_axes, keepdims=True) - \
         jnp.square(mean)
+    # E[x²]−E[x]² can go slightly negative under catastrophic cancellation
+    # (near-constant activations with large mean, e.g. VE scales) — clamp
+    # before rsqrt so it can never produce NaN.
+    var = jnp.maximum(var, 0.0)
     rstd = jax.lax.rsqrt(var + self.epsilon)
     # fold params into per-(batch, channel) a, b; tiny fp32 tensors
     shape = x.shape[:1] + (1,) * (x.ndim - 2) + (c,)
