@@ -158,10 +158,35 @@ def kid_from_activations(act1: Array, act2: Array,
 _INCEPTION_CACHE: Dict[str, object] = {}
 
 
-def get_inception_weights_path(config=None) -> Optional[str]:
-  path = os.environ.get("INCEPTION_WEIGHTS_NPZ", "")
-  if not path and config is not None:
-    path = config.eval.get("inception_weights", "")
+def is_inceptionv3(config) -> bool:
+  """≥256px metric protocol switch (reference run_lib.py:257-258): large
+  images use the tf-hub InceptionV3 *feature_vector* network (pool features
+  only) and IS is not computed (reference run_lib.py:389-391)."""
+  return config is not None and config.data.image_size >= 256
+
+
+def get_inception_weights_path(config=None,
+                               inceptionv3: Optional[bool] = None
+                               ) -> Optional[str]:
+  """Resolve the local weights npz for the protocol-selected network.
+
+  <256px → the 2015 FID graph weights (``INCEPTION_WEIGHTS_NPZ`` /
+  ``config.eval.inception_weights``); ≥256px → the feature_vector network
+  weights (``INCEPTION_V3_FEATURE_WEIGHTS_NPZ`` /
+  ``config.eval.inception_feature_weights`` — an npz WITHOUT fc.* keys, so
+  the extractor emits pool features only). Same npz mechanism either way;
+  both remain env-gated in a zero-egress environment.
+  """
+  if inceptionv3 is None:
+    inceptionv3 = is_inceptionv3(config)
+  if inceptionv3:
+    path = os.environ.get("INCEPTION_V3_FEATURE_WEIGHTS_NPZ", "")
+    if not path and config is not None:
+      path = config.eval.get("inception_feature_weights", "")
+  else:
+    path = os.environ.get("INCEPTION_WEIGHTS_NPZ", "")
+    if not path and config is not None:
+      path = config.eval.get("inception_weights", "")
   return path if path and os.path.exists(path) else None
 
 
@@ -174,7 +199,8 @@ def run_inception(images_u8: np.ndarray, config=None) -> Optional[Dict]:
   path = get_inception_weights_path(config)
   if path is None:
     logging.warning(
-        "No Inception weights available (set INCEPTION_WEIGHTS_NPZ); "
+        "No Inception weights available (set INCEPTION_WEIGHTS_NPZ, or "
+        "INCEPTION_V3_FEATURE_WEIGHTS_NPZ for the >=256px protocol); "
         "skipping FID/IS statistics.")
     return None
   from score_sde_pytorch_tpu.inception import InceptionV3Features
@@ -186,11 +212,11 @@ def run_inception(images_u8: np.ndarray, config=None) -> Optional[Dict]:
 
 def get_inception_model(inceptionv3: bool = False, config=None):
   """Reference-API alias (evaluation.py:35-40): returns the feature
-  extractor or None when weights are unavailable. The ``inceptionv3`` flag
-  is accepted for signature parity — this build always uses the FID
-  InceptionV3 graph (the reference's default frozen graph is the same
-  2015 network)."""
-  path = get_inception_weights_path(config)
+  extractor or None when weights are unavailable. ``inceptionv3=True``
+  selects the ≥256px feature_vector weights (pool-only npz) — the same
+  architecture class serves both protocols, the weights file decides
+  whether a logits head exists."""
+  path = get_inception_weights_path(config, inceptionv3=inceptionv3)
   if path is None:
     return None
   from score_sde_pytorch_tpu.inception import InceptionV3Features
@@ -228,7 +254,9 @@ def compute_scores(pool_acts: np.ndarray, config,
                    logits: Optional[np.ndarray] = None) -> Dict[str, float]:
   """Aggregate IS/FID/KID vs dataset stats (reference run_lib.py:380-397)."""
   out: Dict[str, float] = {}
-  if logits is not None:
+  # IS is only defined for the <256px protocol (reference run_lib.py:389-391
+  # computes it iff not inceptionv3), even if a logits head produced output.
+  if logits is not None and not is_inceptionv3(config):
     out["inception_score"] = inception_score_from_logits(logits)
   try:
     stats = load_dataset_stats(config)

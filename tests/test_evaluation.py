@@ -78,3 +78,49 @@ def test_run_inception_gated_without_weights(monkeypatch):
   monkeypatch.delenv("INCEPTION_WEIGHTS_NPZ", raising=False)
   out = evaluation.run_inception(np.zeros((2, 32, 32, 3), np.uint8))
   assert out is None
+
+
+def _proto_config(image_size):
+  import ml_collections
+  c = ml_collections.ConfigDict()
+  c.data = ml_collections.ConfigDict({"dataset": "LSUN",
+                                      "image_size": image_size})
+  c.eval = ml_collections.ConfigDict({"inception_weights": "",
+                                      "inception_feature_weights": ""})
+  return c
+
+
+def test_protocol_switch_at_256():
+  """reference run_lib.py:257-258: inceptionv3 iff image_size >= 256."""
+  assert not evaluation.is_inceptionv3(_proto_config(32))
+  assert not evaluation.is_inceptionv3(_proto_config(128))
+  assert evaluation.is_inceptionv3(_proto_config(256))
+  assert evaluation.is_inceptionv3(_proto_config(1024))
+  assert not evaluation.is_inceptionv3(None)
+
+
+def test_weights_path_selected_by_protocol(tmp_path, monkeypatch):
+  fid_npz = tmp_path / "fid.npz"
+  fv_npz = tmp_path / "feature_vector.npz"
+  fid_npz.write_bytes(b"x")
+  fv_npz.write_bytes(b"x")
+  monkeypatch.setenv("INCEPTION_WEIGHTS_NPZ", str(fid_npz))
+  monkeypatch.setenv("INCEPTION_V3_FEATURE_WEIGHTS_NPZ", str(fv_npz))
+  assert evaluation.get_inception_weights_path(
+      _proto_config(32)) == str(fid_npz)
+  assert evaluation.get_inception_weights_path(
+      _proto_config(256)) == str(fv_npz)
+  # explicit flag overrides the config-derived protocol
+  assert evaluation.get_inception_weights_path(
+      _proto_config(32), inceptionv3=True) == str(fv_npz)
+
+
+def test_is_suppressed_at_256(monkeypatch):
+  """reference run_lib.py:389-391: no IS in the >=256px protocol, even when
+  logits exist."""
+  logits = np.eye(10)[RNG.integers(0, 10, 200)] * 50.0
+  pool = RNG.normal(size=(200, 8))
+  small = evaluation.compute_scores(pool, _proto_config(32), logits=logits)
+  big = evaluation.compute_scores(pool, _proto_config(256), logits=logits)
+  assert "inception_score" in small
+  assert "inception_score" not in big

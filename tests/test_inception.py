@@ -88,3 +88,48 @@ def test_features_class_with_random_weights_sharded(tmp_path):
   assert out["pool_3"].shape == (10, 2048)
   assert out["logits"].shape == (10, 1008)
   assert np.isfinite(out["pool_3"]).all()
+
+
+def test_convert_inception_weights_tool_end_to_end(tmp_path):
+  """Feed tools/convert_inception_weights.py a synthetic torch state_dict
+  with the exact pytorch-fid key schema (incl. num_batches_tracked), run
+  the real converter, then load_params -> InceptionV3Features — pinning
+  key-schema compatibility of the whole weight path (VERDICT r2 #10)."""
+  import subprocess
+  import sys
+  import torch
+
+  rng = np.random.default_rng(1)
+  sd = {}
+  for name, kh, kw, cin, cout in inception.weight_spec():
+    sd[f"{name}.conv.weight"] = torch.from_numpy(rng.normal(
+        0, 1 / np.sqrt(kh * kw * cin), (cout, cin, kh, kw)).astype(np.float32))
+    sd[f"{name}.bn.weight"] = torch.ones(cout)
+    sd[f"{name}.bn.bias"] = torch.zeros(cout)
+    sd[f"{name}.bn.running_mean"] = torch.zeros(cout)
+    sd[f"{name}.bn.running_var"] = torch.ones(cout)
+    sd[f"{name}.bn.num_batches_tracked"] = torch.tensor(0)
+  sd["fc.weight"] = torch.from_numpy(
+      rng.normal(0, 0.02, (1008, 2048)).astype(np.float32))
+  sd["fc.bias"] = torch.zeros(1008)
+
+  src = tmp_path / "pt_inception-synth.pth"
+  dst = tmp_path / "converted.npz"
+  torch.save(sd, src)
+  proc = subprocess.run(
+      [sys.executable, "tools/convert_inception_weights.py",
+       str(src), str(dst)],
+      capture_output=True, text=True)
+  assert proc.returncode == 0, proc.stderr
+  assert dst.exists()
+
+  # num_batches_tracked must have been dropped, all tensors converted.
+  with np.load(dst) as z:
+    assert not any(k.endswith("num_batches_tracked") for k in z.files)
+
+  model = inception.InceptionV3Features(str(dst), batch=4, shard=False)
+  imgs = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.int64).astype(np.uint8)
+  out = model(imgs)
+  assert out["pool_3"].shape == (3, 2048)
+  assert out["logits"].shape == (3, 1008)
+  assert np.isfinite(out["pool_3"]).all()
