@@ -37,12 +37,18 @@ def get_div_fn(fn: Callable[[Array, Array], Array]) -> Callable:
 def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
                       hutchinson_type: str = "Rademacher",
                       rtol: float = 1e-5, atol: float = 1e-5,
-                      eps: float = 1e-5) -> Callable:
+                      eps: float = 1e-5, max_steps: int = 10000,
+                      mesh=None) -> Callable:
   """Bits/dim likelihood function (reference likelihood.py:40-113).
 
   Returns ``likelihood_fn(rng, params, data) -> (bpd, z, nfe)`` where
-  ``data`` is a scaled NHWC batch; ``bpd`` has shape [B].
+  ``data`` is a scaled NHWC batch; ``bpd`` has shape [B]. With ``mesh``,
+  the batch axis is sharded over the mesh's ``data`` axis for the whole
+  augmented-ODE integration (reference shards even its Inception pass,
+  evaluation.py:107-146 — here the likelihood itself is SPMD).
   """
+  from score_sde_pytorch_tpu.parallel.mesh import batch_constraint
+  constrain = batch_constraint(mesh)
 
   def drift_fn(params, x: Array, t: Array) -> Array:
     score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
@@ -72,9 +78,10 @@ def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
       dlogp = div_fn(x, t, epsilon)
       return (dx, dlogp)
 
-    init = (data, jnp.zeros((shape[0],), data.dtype))
-    (z, delta_logp), nfe = ode_lib.odeint_rk45(
-        aug_drift, init, eps, sde.T, rtol=rtol, atol=atol)
+    init = (constrain(data), jnp.zeros((shape[0],), data.dtype))
+    (z, delta_logp), nfe, status = ode_lib.odeint_rk45(
+        aug_drift, init, eps, sde.T, rtol=rtol, atol=atol,
+        max_steps=max_steps)
 
     prior_logp = sde.prior_logp(z)
     n_dims = math.prod(shape[1:])
@@ -84,6 +91,9 @@ def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
     # offset = 7 - inverse_scaler(-1).
     offset = 7.0 - inverse_scaler(-1.0)
     bpd = bpd + offset
+    # Non-convergent integration must not produce a finite-looking wrong
+    # bpd (scipy raises there; reference likelihood.py:94-99) — flag as NaN.
+    bpd = jnp.where(status == ode_lib.STATUS_OK, bpd, jnp.nan)
     return bpd, z, nfe
 
   return likelihood_fn

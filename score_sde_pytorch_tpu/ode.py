@@ -74,13 +74,24 @@ def _error_norm(err, y0, y1, rtol, atol) -> Array:
   return _rms_norm(scaled)
 
 
+#: status codes returned by :func:`odeint_rk45`
+STATUS_OK = 0          # reached t1 within tolerance
+STATUS_MAX_STEPS = 1   # max_steps exhausted (incl. err stuck at inf on the
+                       # step floor) — the returned y is NOT y(t1)
+
+
 def odeint_rk45(func: Callable[[Any, Array], Any], y0: Any, t0: float,
                 t1: float, rtol: float = 1e-5, atol: float = 1e-5,
-                max_steps: int = 10000) -> Tuple[Any, Array]:
+                max_steps: int = 10000) -> Tuple[Any, Array, Array]:
   """Integrate ``dy/dt = func(y, t)`` from t0 to t1 (either direction).
 
-  Returns ``(y(t1), nfe)``. Fully jittable; ``y0`` may be any pytree of
-  float arrays.
+  Returns ``(y(t1), nfe, status)``. Fully jittable; ``y0`` may be any pytree
+  of float arrays. ``status`` is ``STATUS_OK`` (0) on convergence and
+  ``STATUS_MAX_STEPS`` (1) when the loop ran out of steps before reaching
+  ``t1`` — in that case ``y`` is the state at the last accepted time, not
+  ``y(t1)``, and callers must not treat it as a finished solution (the
+  reference's scipy solve_ivp signals this via ``sol.status``/raise;
+  reference likelihood.py:94-99).
   """
   direction = 1.0 if t1 >= t0 else -1.0
   t0 = jnp.asarray(t0, jnp.float32)
@@ -156,4 +167,6 @@ def odeint_rk45(func: Callable[[Any, Array], Any], y0: Any, t0: float,
   init = (t0, y0, f0, h_init, jnp.asarray(2, jnp.int32),
           jnp.asarray(0, jnp.int32), jnp.asarray(False))
   t, y, f, h, nfe, steps, done = jax.lax.while_loop(cond, body, init)
-  return y, nfe
+  status = jnp.where(done, jnp.asarray(STATUS_OK, jnp.int32),
+                     jnp.asarray(STATUS_MAX_STEPS, jnp.int32))
+  return y, nfe, status

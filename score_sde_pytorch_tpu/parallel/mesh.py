@@ -71,6 +71,20 @@ def constrain_spatial(x):
   return jax.lax.with_sharding_constraint(x, P(DATA_AXIS, SPACE_AXIS))
 
 
+def batch_constraint(mesh) -> Callable:
+  """Sharding constraint pinning a tensor's batch axis to the data axis.
+
+  Returns identity when ``mesh`` is None. Lets the ODE/heun/likelihood
+  paths be mesh-sharded without ``in_shardings`` (which can't express their
+  optional arguments): one constraint on the initial state and XLA's SPMD
+  partitioner propagates it through the whole scanned/while'd chain.
+  """
+  if mesh is None:
+    return lambda x: x
+  sharding = NamedSharding(mesh, P(DATA_AXIS))
+  return lambda x: jax.lax.with_sharding_constraint(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh):
   """Place a host numpy batch onto the mesh, sharded along the batch dim."""
   return jax.device_put(batch, data_sharding(mesh))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from score_sde_pytorch_tpu import ode as ode_lib
 from score_sde_pytorch_tpu import sde as sde_lib
+from score_sde_pytorch_tpu.parallel.mesh import batch_constraint
 from score_sde_pytorch_tpu.models import utils as mutils
 from score_sde_pytorch_tpu.sde import batch_mul
 
@@ -285,10 +286,15 @@ def get_pc_sampler(sde, model_def, shape, predictor, corrector,
 
 def get_ode_sampler(sde, model_def, shape, inverse_scaler,
                     denoise: bool = False, rtol: float = 1e-5,
-                    atol: float = 1e-5, eps: float = 1e-3):
+                    atol: float = 1e-5, eps: float = 1e-3,
+                    max_steps: int = 10000, mesh=None):
   """Probability-flow ODE sampler with on-device RK45
   (reference sampling.py:414-485; scipy bridge replaced by
-  `ode_lib.odeint_rk45` under jit — no host round-trips)."""
+  `ode_lib.odeint_rk45` under jit — no host round-trips).
+
+  With ``mesh`` given, the sample batch is sharded over the mesh's ``data``
+  axis for the whole integration (params replicated)."""
+  constrain = batch_constraint(mesh)
 
   @jax.jit
   def ode_sampler(rng, params, z: Optional[Array] = None):
@@ -298,13 +304,18 @@ def get_ode_sampler(sde, model_def, shape, inverse_scaler,
 
     rng, prior_rng = jax.random.split(rng)
     x0 = sde.prior_sampling(prior_rng, shape) if z is None else z
+    x0 = constrain(x0)
 
     def drift_fn(x, t_scalar):
       t = jnp.full((shape[0],), t_scalar)
       return rsde.sde(x, t)[0]
 
-    x, nfe = ode_lib.odeint_rk45(drift_fn, x0, sde.T, eps, rtol=rtol,
-                                 atol=atol)
+    x, nfe, status = ode_lib.odeint_rk45(drift_fn, x0, sde.T, eps, rtol=rtol,
+                                         atol=atol, max_steps=max_steps)
+    # scipy (the reference, sampling.py:466-473) raises on non-convergence;
+    # under jit we flag it by NaN-ing the samples instead of returning a
+    # plausible-looking unfinished trajectory.
+    x = jnp.where(status == ode_lib.STATUS_OK, x, jnp.nan)
     if denoise:
       # One reverse-diffusion step at eps (reference sampling.py:435-441).
       rng, d_rng = jax.random.split(rng)
@@ -319,14 +330,15 @@ def get_ode_sampler(sde, model_def, shape, inverse_scaler,
 
 def get_heun_sampler(sde, model_def, shape, inverse_scaler,
                      n_steps: int = 50, denoise: bool = True,
-                     continuous: bool = True, eps: float = 1e-3):
+                     continuous: bool = True, eps: float = 1e-3, mesh=None):
   """Deterministic 2nd-order Heun probability-flow sampler.
 
   Beyond-reference extension (cf. EDM / UniPC-style fast samplers,
   PAPERS.md): integrates the probability-flow ODE with Heun's method on a
   fixed time grid — 2 NFE per step, typically matching 1000-step EM quality
-  at ~50 steps. One jitted `lax.scan`.
+  at ~50 steps. One jitted `lax.scan`. ``mesh``: as in `get_ode_sampler`.
   """
+  constrain = batch_constraint(mesh)
 
   @jax.jit
   def heun_sampler(rng, params):
@@ -338,7 +350,7 @@ def get_heun_sampler(sde, model_def, shape, inverse_scaler,
       return rsde.sde(x, t)[0]
 
     rng, prior_rng = jax.random.split(rng)
-    x = sde.prior_sampling(prior_rng, shape)
+    x = constrain(sde.prior_sampling(prior_rng, shape))
     ts = jnp.linspace(sde.T, eps, n_steps + 1)
 
     def step(x, idx):
@@ -365,14 +377,15 @@ def get_heun_sampler(sde, model_def, shape, inverse_scaler,
 
 
 def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
-                    eps: Optional[float] = None):
+                    eps: Optional[float] = None, mesh=None):
   """Dispatcher on config.sampling.method (reference sampling.py:80-123,
   plus the TPU-native 'heun' fast sampler).
 
   Returns ``sampling_fn(rng, params) -> (samples, nfe)``. ``eps`` defaults
   to the per-SDE sampling_eps (reference run_lib.py:90-100: 1e-3 VP/subVP,
   1e-5 VE), overridable via ``config.sampling.eps``; ODE tolerances come
-  from ``config.sampling.{rtol,atol}``.
+  from ``config.sampling.{rtol,atol}``. With ``mesh``, every sampler shards
+  the sample batch over the mesh's ``data`` axis.
   """
   if eps is None:
     eps = sde_lib.sampling_eps(config)
@@ -381,13 +394,14 @@ def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
     return get_ode_sampler(sde, model_def, shape, inverse_scaler,
                            denoise=config.sampling.noise_removal,
                            rtol=config.sampling.get("rtol", 1e-5),
-                           atol=config.sampling.get("atol", 1e-5), eps=eps)
+                           atol=config.sampling.get("atol", 1e-5), eps=eps,
+                           mesh=mesh)
   elif sampler_name.lower() == "heun":
     return get_heun_sampler(
         sde, model_def, shape, inverse_scaler,
         n_steps=config.sampling.get("heun_steps", 50),
         denoise=config.sampling.noise_removal,
-        continuous=config.training.continuous, eps=eps)
+        continuous=config.training.continuous, eps=eps, mesh=mesh)
   elif sampler_name.lower() == "pc":
     predictor = get_predictor(config.sampling.predictor.lower())
     corrector = get_corrector(config.sampling.corrector.lower())
@@ -396,5 +410,5 @@ def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
         snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
         probability_flow=config.sampling.probability_flow,
         continuous=config.training.continuous,
-        denoise=config.sampling.noise_removal, eps=eps)
+        denoise=config.sampling.noise_removal, eps=eps, mesh=mesh)
   raise ValueError(f"Sampler name {sampler_name} unknown.")

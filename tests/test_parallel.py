@@ -155,3 +155,88 @@ def test_spatial_sharding_constraints_stick():
                jax.device_put(t, parallel.data_sharding(mesh)))
   np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
                              rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_ode_sampler_matches_single_device():
+  """Mesh-sharded ODE sampler (VERDICT r2 #3): sharded over the 8-device
+  mesh must equal the single-device result (same rng, deterministic RK45)."""
+  from score_sde_pytorch_tpu import sampling
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config()
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=100)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  shape = (8, 16, 16, 3)
+  single = sampling.get_ode_sampler(sde, model_def, shape, lambda x: x,
+                                    rtol=1e-4, atol=1e-4, eps=1e-5)
+  mesh = parallel.create_mesh()
+  sharded = sampling.get_ode_sampler(sde, model_def, shape, lambda x: x,
+                                     rtol=1e-4, atol=1e-4, eps=1e-5,
+                                     mesh=mesh)
+  x1, nfe1 = single(jax.random.PRNGKey(5), variables["params"])
+  x8, nfe8 = sharded(jax.random.PRNGKey(5), variables["params"])
+  assert x8.sharding.spec == jax.sharding.PartitionSpec("data")
+  np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
+                             rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_heun_sampler_matches_single_device():
+  from score_sde_pytorch_tpu import sampling
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config()
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=100)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  shape = (8, 16, 16, 3)
+  single = sampling.get_heun_sampler(sde, model_def, shape, lambda x: x,
+                                     n_steps=4, eps=1e-5)
+  mesh = parallel.create_mesh()
+  sharded = sampling.get_heun_sampler(sde, model_def, shape, lambda x: x,
+                                      n_steps=4, eps=1e-5, mesh=mesh)
+  x1, _ = single(jax.random.PRNGKey(6), variables["params"])
+  x8, _ = sharded(jax.random.PRNGKey(6), variables["params"])
+  np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
+                             rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_likelihood_matches_single_device():
+  """Mesh-sharded bits/dim (VERDICT r2 #3): identical bpd values on the
+  virtual 8-device mesh vs single device."""
+  from score_sde_pytorch_tpu import likelihood as likelihood_lib
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config(name="ddpm", embedding_type="positional",
+                    scale_by_sigma=False)
+  sde = sde_lib.VPSDE(N=100)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  single = likelihood_lib.get_likelihood_fn(sde, model_def, lambda x: x,
+                                            rtol=1e-3, atol=1e-3)
+  mesh = parallel.create_mesh()
+  sharded = likelihood_lib.get_likelihood_fn(sde, model_def, lambda x: x,
+                                             rtol=1e-3, atol=1e-3, mesh=mesh)
+  data = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3))
+  bpd1, _, nfe1 = single(jax.random.PRNGKey(2), variables["params"], data)
+  bpd8, _, nfe8 = sharded(jax.random.PRNGKey(2), variables["params"], data)
+  assert np.isfinite(np.asarray(bpd8)).all()
+  np.testing.assert_allclose(np.asarray(bpd1), np.asarray(bpd8),
+                             rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_eval_step_matches_single_device():
+  """Eval-loss through make_sharded_step equals the plain-jit value."""
+  cfg, sde, model_def, state = _setup()
+  eval_fn = losses.get_step_fn(sde, model_def, train=False)
+  batch = jax.random.normal(jax.random.PRNGKey(3), (16, 16, 16, 3))
+  _, loss1 = jax.jit(eval_fn)(state, batch)
+  mesh = parallel.create_mesh()
+  eval_sharded = parallel.make_sharded_step(eval_fn, mesh,
+                                            donate_state=False)
+  _, loss8 = eval_sharded(state, parallel.shard_batch(np.asarray(batch),
+                                                      mesh))
+  np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
