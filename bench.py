@@ -162,6 +162,87 @@ def bench_sampling(config, on_accelerator):
   return batch / (t_ms / 1e3) / jax.device_count(), batch, rounds
 
 
+def bench_model_zoo(on_accelerator):
+  """Per-model train-step + sampling rows so BENCH speaks for the model zoo,
+  not one net (VERDICT r2 #7): ddpm (vp/ddpm/cifar10, discrete DDPM loss)
+  and ncsnv2_64 (ve/ncsnv2/cifar10, InstanceNorm++ hot path, SMLD loss +
+  ald sampling). Marginal-cost timed; bf16 on TPU."""
+  import jax
+  import jax.numpy as jnp
+  from score_sde_pytorch_tpu import losses, sampling, sde as sde_lib
+  from score_sde_pytorch_tpu.configs.vp.ddpm.cifar10 import (
+      get_config as ddpm_config)
+  from score_sde_pytorch_tpu.configs.ve.ncsnv2.cifar10 import (
+      get_config as ncsnv2_config)
+
+  out = {}
+  n_lo, n_hi = (2, 10) if on_accelerator else (1, 2)
+  batch = 128 if on_accelerator else 4
+  for tag, get_cfg in (("ddpm", ddpm_config), ("ncsnv2", ncsnv2_config)):
+    config = get_cfg()
+    config.model.dtype = "bfloat16" if on_accelerator else "float32"
+    if not on_accelerator:
+      config.model.nf = 16
+      config.model.num_scales = 10
+    size = config.data.image_size
+    sde = sde_lib.build_sde(config)
+    optimizer = losses.get_optimizer(config)
+
+    def timed(n_steps, config=config, sde=sde, optimizer=optimizer,
+              size=size):
+      import numpy as np
+      model_def, state = losses.init_train_state(config,
+                                                 jax.random.PRNGKey(0))
+      fn = jax.jit(
+          losses.get_n_step_fn(
+              sde, model_def, train=True, optimizer=optimizer,
+              n_steps=n_steps, reduce_mean=config.training.reduce_mean,
+              continuous=config.training.continuous,
+              prng_impl=config.training.get("prng_impl")),
+          donate_argnums=0)
+      batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
+      state, _ = fn(state, batches)
+      _force(state.step)
+      ts = []
+      for _ in range(3 if on_accelerator else 1):
+        batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
+        t0 = time.time()
+        state, _ = fn(state, batches)
+        _force(state.step)
+        ts.append((time.time() - t0) * 1e3)
+      return float(np.median(ts))
+
+    per_step = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+    out[f"{tag}_train_step_ms_bf16"] = round(per_step, 2)
+    out[f"{tag}_train_imgs_per_sec_per_chip"] = round(
+        batch / (per_step / 1e3) / jax.device_count(), 1)
+
+    # Sampling: the model's own configured sampler at a short N (the
+    # per-NFE rate is N-independent — one scanned model eval per NFE).
+    s_batch = 64 if on_accelerator else 4
+    n_scales = 100 if on_accelerator else 5
+    config.model.num_scales = n_scales
+    sde_s = sde_lib.build_sde(config)
+    from score_sde_pytorch_tpu.models import utils as mutils
+    model_def, variables = mutils.create_model(config, jax.random.PRNGKey(0))
+    sampler = sampling.get_pc_sampler(
+        sde_s, model_def, (s_batch, size, size, 3),
+        sampling.get_predictor(config.sampling.predictor),
+        sampling.get_corrector(config.sampling.corrector), lambda x: x,
+        snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
+        continuous=config.training.continuous, denoise=True)
+    rng = losses.as_prng_impl(jax.random.PRNGKey(0),
+                              config.training.get("prng_impl"))
+    _force(sampler(rng, variables["params"])[0])
+    t_ms = _median_ms(sampler,
+                      lambda i: (jax.random.fold_in(rng, i),
+                                 variables["params"]),
+                      3 if on_accelerator else 1)
+    nfe = n_scales * (config.sampling.n_steps_each + 1)
+    out[f"{tag}_sampling_ms_per_nfe"] = round(t_ms / nfe, 2)
+  return out
+
+
 def main():
   import jax
   import score_sde_pytorch_tpu.models  # noqa: F401  (registry)
@@ -186,6 +267,11 @@ def main():
     extra.update(bench_train(fresh_config(), on_accelerator))
   except Exception as e:  # sampling headline must survive a train failure
     extra["train_error"] = repr(e)[:200]
+
+  try:
+    extra.update(bench_model_zoo(on_accelerator))
+  except Exception as e:
+    extra["model_zoo_error"] = repr(e)[:200]
 
   samples_per_sec_per_chip, s_batch, s_rounds = bench_sampling(
       fresh_config(), on_accelerator)

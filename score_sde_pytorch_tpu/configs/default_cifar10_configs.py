@@ -78,6 +78,10 @@ def get_default_configs():
   # rematerialization, spatial activation sharding.
   model.dtype = 'float32'
   model.remat = False
+  # Selective remat: with remat on, only blocks at spatial size >= this are
+  # rematerialized (0 = all blocks). High-res levels dominate activation
+  # HBM; low-res levels are cheap to store (models/ncsnpp.py).
+  model.remat_min_res = 0
   model.spatial_sharding = False
 
   # optimization

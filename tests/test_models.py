@@ -368,3 +368,34 @@ def test_refinenet_models_bf16_and_remat(name):
   g = jax.grad(loss)(variables["params"])
   assert np.isfinite(float(jax.tree.reduce(
       lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+
+
+def test_selective_remat_gradient_parity():
+  """remat / selective remat (remat_min_res) / no remat: identical forward
+  AND gradients — rematerialization must change memory, never math
+  (models/ncsnpp.py block_call; VERDICT r2 #8)."""
+  import jax
+
+  grads = {}
+  for tag, overrides in {
+      "off": dict(remat=False),
+      "all": dict(remat=True),
+      "sel": dict(remat=True, remat_min_res=16),  # only the 16px level
+  }.items():
+    cfg = tiny_config(**overrides)
+    cfg.model.dropout = 0.0
+    model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.full((2,), 10.0)
+
+    def loss(params):
+      out = model_def.apply({"params": params}, x, t, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+      return jnp.sum(out ** 2)
+
+    grads[tag] = jax.grad(loss)(variables["params"])
+
+  for tag in ("all", "sel"):
+    for a, b in zip(jax.tree.leaves(grads["off"]), jax.tree.leaves(grads[tag])):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-5, atol=1e-6)

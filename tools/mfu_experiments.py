@@ -1,0 +1,168 @@
+"""MFU buy-back experiments vs the 19.5% r2 baseline (VERDICT r2 #2).
+
+Round-2 profiling (tools/profile_step.py) pinned 80% of the 63 ms flagship
+train step inside XLA conv fusions at 40-50% per-conv MXU utilization. This
+harness measures every avenue the verdict named, all with the marginal-cost
+method ((t12-t2)/10 of an n-step scan — removes the ~50 ms axon dispatch):
+
+  (a) train-side batch sweep 64/128/256/512 bf16 — is 128 still optimal
+      after the GroupNorm HBM savings?
+  (b) conv/matmul precision matrix: bf16 model (baseline) vs fp32 model
+      under jax.default_matmul_precision in {bfloat16, tensorfloat32,
+      float32} (fp32 convs on TPU decompose into 1/3/6 bf16 MXU passes).
+  (c) XLA TPU flag sweep (each in a fresh subprocess so XLA_FLAGS applies):
+      latency-hiding scheduler, scoped-vmem budget for fusions.
+
+Per-case output: one JSON line {case, per_step_ms, imgs_per_s, mfu}.
+MFU uses marginal FLOPs ((flops12-flops2)/10 from XLA cost analysis) over
+the chip's bf16 peak.
+
+    python tools/mfu_experiments.py            # orchestrate all cases
+    python tools/mfu_experiments.py CASE       # one case, in-process
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+N_LO, N_HI = 2, 12
+
+# (a) + (b): in-process cases.
+CASES = {
+    # batch sweep, bf16
+    "b64": dict(batch=64, dtype="bfloat16"),
+    "b128": dict(batch=128, dtype="bfloat16"),
+    "b256": dict(batch=256, dtype="bfloat16"),
+    "b512": dict(batch=512, dtype="bfloat16"),
+    # precision matrix at batch 128
+    "f32_prec_bf16": dict(batch=128, dtype="float32",
+                          matmul_precision="bfloat16"),
+    "f32_prec_tf32": dict(batch=128, dtype="float32",
+                          matmul_precision="tensorfloat32"),
+    "f32_prec_f32": dict(batch=128, dtype="float32",
+                         matmul_precision="float32"),
+}
+
+# (c): flag cases — subprocess with XLA_FLAGS, each runs the b128 case.
+FLAG_CASES = {
+    "lhs_on": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
+    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem_128m": "--xla_tpu_scoped_vmem_limit_kib=131072",
+}
+
+
+def _force(x):
+  import jax
+  return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def _flops_of(compiled):
+  try:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost.get("flops", 0.0))
+  except Exception:
+    return 0.0
+
+
+def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5):
+  import jax
+  import jax.numpy as jnp
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from score_sde_pytorch_tpu import losses, sde as sde_lib
+  from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
+      get_config)
+  from bench import _peak_flops
+
+  config = get_config()
+  config.model.dtype = dtype
+  size = config.data.image_size
+  sde = sde_lib.build_sde(config)
+  optimizer = losses.get_optimizer(config)
+
+  import contextlib
+  prec_ctx = (jax.default_matmul_precision(matmul_precision)
+              if matmul_precision else contextlib.nullcontext())
+
+  stats = {}
+  with prec_ctx:
+    for n_steps in (N_LO, N_HI):
+      model_def, state = losses.init_train_state(config,
+                                                 jax.random.PRNGKey(0))
+      fn = jax.jit(
+          losses.get_n_step_fn(sde, model_def, train=True,
+                               optimizer=optimizer, n_steps=n_steps,
+                               reduce_mean=config.training.reduce_mean,
+                               continuous=config.training.continuous,
+                               likelihood_weighting=False,
+                               prng_impl=config.training.get("prng_impl")),
+          donate_argnums=0)
+      batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
+      compiled = fn.lower(state, batches).compile()
+      flops = _flops_of(compiled)
+      state, _ = fn(state, batches)
+      _force(state.step)
+      ts = []
+      for _ in range(rounds):
+        batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
+        t0 = time.time()
+        state, _ = fn(state, batches)
+        _force(state.step)
+        ts.append((time.time() - t0) * 1e3)
+      stats[n_steps] = (float(np.median(ts)), flops)
+
+  (t_lo, fl_lo), (t_hi, fl_hi) = stats[N_LO], stats[N_HI]
+  per_step_ms = (t_hi - t_lo) / (N_HI - N_LO)
+  per_step_flops = (fl_hi - fl_lo) / (N_HI - N_LO)
+  import jax
+  peak, kind = _peak_flops(jax.devices()[0])
+  mfu = (per_step_flops / (per_step_ms / 1e3) / peak
+         if per_step_flops > 0 and per_step_ms > 0 else None)
+  return {"per_step_ms": round(per_step_ms, 2),
+          "imgs_per_s": round(batch / (per_step_ms / 1e3), 1),
+          "mfu": round(mfu, 4) if mfu else None,
+          "peak_kind": kind}
+
+
+def main():
+  if len(sys.argv) > 1:
+    case = sys.argv[1]
+    out = run_case(**CASES[case])
+    print("CASE " + json.dumps({case: out}), flush=True)
+    return
+
+  results = {}
+  env = dict(os.environ)
+  for case in CASES:
+    proc = subprocess.run([sys.executable, __file__, case], env=env,
+                          capture_output=True, text=True, timeout=3600)
+    results[case] = _parse(proc, case)
+    print(json.dumps({case: results[case]}), flush=True)
+  for tag, flags in FLAG_CASES.items():
+    fenv = dict(env)
+    fenv["LIBTPU_INIT_ARGS"] = (
+        fenv.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
+    fenv["XLA_FLAGS"] = (fenv.get("XLA_FLAGS", "") + " " + flags).strip()
+    proc = subprocess.run([sys.executable, __file__, "b128"], env=fenv,
+                          capture_output=True, text=True, timeout=3600)
+    results[tag] = _parse(proc, "b128")
+    print(json.dumps({tag: results[tag]}), flush=True)
+  print("FINAL " + json.dumps(results), flush=True)
+
+
+def _parse(proc, case):
+  for line in proc.stdout.splitlines():
+    if line.startswith("CASE "):
+      return json.loads(line[5:])[case]
+  return {"error": (proc.stderr or proc.stdout)[-300:]}
+
+
+if __name__ == "__main__":
+  main()
