@@ -1,4 +1,6 @@
 """FID/IS/KID math tests against scipy/analytic oracles."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
@@ -124,3 +126,57 @@ def test_is_suppressed_at_256(monkeypatch):
   big = evaluation.compute_scores(pool, _proto_config(256), logits=logits)
   assert "inception_score" in small
   assert "inception_score" not in big
+
+
+def test_compute_dataset_stats_tool_end_to_end(tmp_path, monkeypatch):
+  """tools/compute_dataset_stats.py with synthetic data + random Inception
+  weights: the produced npz must be loadable by load_dataset_stats and
+  usable by compute_scores — the full stats pipeline the reference ships
+  pre-baked in assets/stats (reference evaluation.py:43-56), executed in CI
+  with the only env-blocked piece (real weights) substituted."""
+  import subprocess
+  import sys
+  from score_sde_pytorch_tpu import inception
+
+  rng = np.random.default_rng(2)
+  raw = {}
+  for name, kh, kw, cin, cout in inception.weight_spec():
+    raw[f"{name}.conv.weight"] = rng.normal(
+        0, 1 / np.sqrt(kh * kw * cin), (cout, cin, kh, kw)).astype(np.float32)
+    raw[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+    raw[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+  raw["fc.weight"] = rng.normal(0, 0.02, (1008, 2048)).astype(np.float32)
+  raw["fc.bias"] = np.zeros(1008, np.float32)
+  weights = tmp_path / "w.npz"
+  np.savez(weights, **raw)
+
+  out_dir = tmp_path / "stats"
+  env = dict(os.environ)
+  env["INCEPTION_WEIGHTS_NPZ"] = str(weights)
+  env["JAX_PLATFORMS"] = "cpu"
+  proc = subprocess.run(
+      [sys.executable, "tools/compute_dataset_stats.py",
+       "--config", "score_sde_pytorch_tpu/configs/ve/cifar10_ncsnpp_continuous.py",
+       "--config.data.image_size=16", "--split", "test",
+       "--out", str(out_dir), "--max_examples", "8"],
+      capture_output=True, text=True, env=env, timeout=900)
+  assert proc.returncode == 0, proc.stderr[-2000:]
+  stats_file = out_dir / "cifar10_16_stats.npz"
+  assert stats_file.exists()
+
+  import ml_collections
+  cfg = ml_collections.ConfigDict()
+  cfg.data = ml_collections.ConfigDict({"dataset": "CIFAR10",
+                                        "image_size": 16})
+  cfg.eval = ml_collections.ConfigDict({})
+  monkeypatch.chdir(tmp_path)  # load_dataset_stats looks under assets/stats
+  os.makedirs("assets", exist_ok=True)
+  os.symlink(out_dir, "assets/stats")
+  loaded = evaluation.load_dataset_stats(cfg)
+  assert loaded["mu"].shape == (2048,)
+  assert loaded["sigma"].shape == (2048, 2048)
+  pool = rng.normal(size=(64, 2048)).astype(np.float32)
+  scores = evaluation.compute_scores(pool, cfg)
+  assert "fid" in scores and np.isfinite(scores["fid"])

@@ -20,6 +20,8 @@ FLAGS = flags.FLAGS
 config_flags.DEFINE_config_file("config", None, "Config file.")
 flags.DEFINE_string("split", "train", "Dataset split.")
 flags.DEFINE_string("out", "assets/stats", "Output directory.")
+flags.DEFINE_integer("max_examples", 0,
+                     "Cap the number of images (0 = full split).")
 flags.mark_flags_as_required(["config"])
 
 
@@ -28,6 +30,8 @@ def main(argv):
 
   config = FLAGS.config
   images = datasets.materialize(datasets.load_raw_dataset(config, FLAGS.split))
+  if FLAGS.max_examples:
+    images = images[:FLAGS.max_examples]
   stats = evaluation.run_inception(images, config)
   if stats is None:
     raise SystemExit("Inception weights unavailable "
