@@ -128,32 +128,49 @@ def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5):
   return {"per_step_ms": round(per_step_ms, 2),
           "imgs_per_s": round(batch / (per_step_ms / 1e3), 1),
           "mfu": round(mfu, 4) if mfu else None,
+          "flops_lo_hi": [fl_lo, fl_hi],
           "peak_kind": kind}
 
 
+RESULTS_PATH = os.path.join(os.path.dirname(__file__), "..",
+                            "mfu_results.json")
+
+
 def main():
-  if len(sys.argv) > 1:
+  if len(sys.argv) > 1 and sys.argv[1] != "all":
     case = sys.argv[1]
     out = run_case(**CASES[case])
     print("CASE " + json.dumps({case: out}), flush=True)
     return
 
+  # Results are appended to mfu_results.json after EVERY case so a timeout
+  # or crash never loses completed measurements.
   results = {}
+  if os.path.exists(RESULTS_PATH):
+    results = json.load(open(RESULTS_PATH))
+
+  def record(tag, value):
+    results[tag] = value
+    json.dump(results, open(RESULTS_PATH, "w"), indent=1)
+    print(json.dumps({tag: value}), flush=True)
+
   env = dict(os.environ)
   for case in CASES:
+    if case in results and "error" not in str(results[case]):
+      continue
     proc = subprocess.run([sys.executable, __file__, case], env=env,
                           capture_output=True, text=True, timeout=3600)
-    results[case] = _parse(proc, case)
-    print(json.dumps({case: results[case]}), flush=True)
+    record(case, _parse(proc, case))
   for tag, flags in FLAG_CASES.items():
+    if tag in results and "error" not in str(results[tag]):
+      continue
     fenv = dict(env)
     fenv["LIBTPU_INIT_ARGS"] = (
         fenv.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
     fenv["XLA_FLAGS"] = (fenv.get("XLA_FLAGS", "") + " " + flags).strip()
     proc = subprocess.run([sys.executable, __file__, "b128"], env=fenv,
                           capture_output=True, text=True, timeout=3600)
-    results[tag] = _parse(proc, "b128")
-    print(json.dumps({tag: results[tag]}), flush=True)
+    record(tag, _parse(proc, "b128"))
   print("FINAL " + json.dumps(results), flush=True)
 
 
