@@ -213,7 +213,8 @@ def bench_model_zoo(on_accelerator):
       return float(np.median(ts))
 
     per_step = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
-    out[f"{tag}_train_step_ms_bf16"] = round(per_step, 2)
+    dt_tag = "bf16" if on_accelerator else "fp32"
+    out[f"{tag}_train_step_ms_{dt_tag}"] = round(per_step, 2)
     out[f"{tag}_train_imgs_per_sec_per_chip"] = round(
         batch / (per_step / 1e3) / jax.device_count(), 1)
 
