@@ -114,9 +114,21 @@ def bench_train(config, on_accelerator):
         ts.append((time.time() - t0) * 1e3)
       t_ms = float(np.median(ts)) / n_jitted
       out[f"train_step_ms_{tag}_j{n_jitted}"] = round(t_ms, 2)
-      if dtype == "bfloat16" and n_jitted == 1 and mfu_flops > 0:
+    if dtype == "bfloat16" and mfu_flops > 0 and on_accelerator:
+      # Device-time MFU: the axon relay adds ~40-60 ms of dispatch per
+      # call, so divide the lowered per-step FLOPs (cost_analysis reports
+      # the scanned BODY = one step) by the MARGINAL step cost
+      # (10*t_j10 - t_j1)/9 — this matches the profiler's device time
+      # (61.3 ms vs 63.3 marginal, tools/profile_step.py). Round-2's
+      # 19.5% figure divided by the j1 wall time incl. dispatch; same
+      # FLOPs, wrong denominator.
+      t1 = out.get("train_step_ms_bf16_j1")
+      t10 = out.get("train_step_ms_bf16_j10")
+      if t1 and t10:
+        marginal = (t10 * 10 - t1) / 9
+        out["train_step_ms_bf16_marginal"] = round(marginal, 2)
         peak, kind = _peak_flops(jax.devices()[0])
-        mfu = mfu_flops / (t_ms / 1e3) / peak / jax.device_count()
+        mfu = mfu_flops / (marginal / 1e3) / peak / jax.device_count()
         out["mfu_bf16_train"] = round(mfu, 4)
         out["mfu_peak_kind"] = kind
   best = min(v for k, v in out.items() if k.startswith("train_step_ms"))
