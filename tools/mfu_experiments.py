@@ -120,7 +120,11 @@ def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5):
 
   (t_lo, fl_lo), (t_hi, fl_hi) = stats[N_LO], stats[N_HI]
   per_step_ms = (t_hi - t_lo) / (N_HI - N_LO)
-  per_step_flops = (fl_hi - fl_lo) / (N_HI - N_LO)
+  # XLA cost_analysis reports the flops of the scanned BODY (one step) —
+  # measured identical for n=2 and n=12 executables — so fl_hi IS the
+  # per-step figure; fall back to the marginal if they ever differ.
+  per_step_flops = (fl_hi if fl_hi == fl_lo
+                    else (fl_hi - fl_lo) / (N_HI - N_LO))
   import jax
   peak, kind = _peak_flops(jax.devices()[0])
   mfu = (per_step_flops / (per_step_ms / 1e3) / peak
