@@ -39,6 +39,7 @@ def get_default_configs():
   sampling.rtol = 1e-5
   sampling.atol = 1e-5
   sampling.heun_steps = 50
+  sampling.dpmpp_steps = 20
   # Integration endpoint; <=0 → per-SDE default (1e-3 VP/subVP, 1e-5 VE —
   # reference run_lib.py:90-100 sampling_eps).
   sampling.eps = -1.0

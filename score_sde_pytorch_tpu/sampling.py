@@ -376,10 +376,75 @@ def get_heun_sampler(sde, model_def, shape, inverse_scaler,
   return heun_sampler
 
 
+def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
+                      n_steps: int = 20, denoise: bool = False,
+                      continuous: bool = True, eps: float = 1e-3, mesh=None):
+  """DPM-Solver++(2M): deterministic multistep 2nd-order prob-flow sampler.
+
+  Beyond-reference extension (Lu et al. 2022, PAPERS.md): integrates the
+  probability-flow ODE in half-log-SNR time λ = log(α/σ) with the
+  data-prediction parametrization — the linear (noise-scaling) part of the
+  reverse dynamics is solved EXACTLY and only the data prediction
+  x0(x,t) = (x + σ²·score)/α is extrapolated, so 1 NFE per step suffices
+  (vs heun's 2) and ~20 steps match the 100-NFE heun chain. One jitted
+  `lax.scan`. Generic over any SDE whose perturbation kernel is
+  x_t = α(t)·x0 + σ(t)·ε (VE: α=1; VP/subVP via marginal_prob).
+
+  ``mesh``: as in `get_ode_sampler` (batch sharded over the data axis).
+  """
+  constrain = batch_constraint(mesh)
+
+  @jax.jit
+  def dpmpp_sampler(rng, params):
+    score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
+                                   continuous=continuous)
+    ts = jnp.linspace(sde.T, eps, n_steps + 1)
+
+    def coeff(t_scalar):
+      mean, std = sde.marginal_prob(jnp.ones((1, 1, 1, 1)),
+                                    jnp.full((1,), t_scalar))
+      return mean[0, 0, 0, 0], std[0]
+
+    alphas, sigmas = jax.vmap(coeff)(ts)
+    lams = jnp.log(alphas) - jnp.log(sigmas)
+
+    def x0_pred(x, i):
+      t = jnp.full((shape[0],), ts[i])
+      return (x + sigmas[i] ** 2 * score_fn(x, t)) / alphas[i]
+
+    rng, prior_rng = jax.random.split(rng)
+    x = constrain(sde.prior_sampling(prior_rng, shape))
+
+    def step(carry, i):
+      x, prev_x0 = carry
+      h = lams[i + 1] - lams[i]
+      h_prev = lams[i] - lams[jnp.maximum(i - 1, 0)]
+      x0 = x0_pred(x, i)
+      # 2nd-order multistep correction from the previous x0 prediction;
+      # first step (no history, h_prev == 0) falls back to 1st order.
+      r = jnp.where(i > 0, h_prev / h, 1.0)
+      D = jnp.where(i > 0,
+                    (1.0 + 1.0 / (2.0 * r)) * x0 - prev_x0 / (2.0 * r),
+                    x0)
+      x = (sigmas[i + 1] / sigmas[i]) * x \
+          - alphas[i + 1] * jnp.expm1(-h) * D
+      return (x, x0), None
+
+    (x, _), _ = jax.lax.scan(step, (x, x), jnp.arange(n_steps))
+    nfe = n_steps
+    if denoise:
+      # final data prediction at eps (Tweedie; cf. heun's denoise tail)
+      x = x0_pred(x, n_steps)
+      nfe += 1
+    return inverse_scaler(x), nfe
+
+  return dpmpp_sampler
+
+
 def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
                     eps: Optional[float] = None, mesh=None):
   """Dispatcher on config.sampling.method (reference sampling.py:80-123,
-  plus the TPU-native 'heun' fast sampler).
+  plus the TPU-native 'heun' and 'dpmpp' fast samplers).
 
   Returns ``sampling_fn(rng, params) -> (samples, nfe)``. ``eps`` defaults
   to the per-SDE sampling_eps (reference run_lib.py:90-100: 1e-3 VP/subVP,
@@ -400,6 +465,12 @@ def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
     return get_heun_sampler(
         sde, model_def, shape, inverse_scaler,
         n_steps=config.sampling.get("heun_steps", 50),
+        denoise=config.sampling.noise_removal,
+        continuous=config.training.continuous, eps=eps, mesh=mesh)
+  elif sampler_name.lower() == "dpmpp":
+    return get_dpmpp_sampler(
+        sde, model_def, shape, inverse_scaler,
+        n_steps=config.sampling.get("dpmpp_steps", 20),
         denoise=config.sampling.noise_removal,
         continuous=config.training.continuous, eps=eps, mesh=mesh)
   elif sampler_name.lower() == "pc":

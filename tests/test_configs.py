@@ -47,7 +47,7 @@ def test_config_tree_matches_reference_file_for_file():
 
 
 _VALID_SDES = {"vesde", "vpsde", "subvpsde"}
-_VALID_SAMPLING_METHODS = {"pc", "ode", "heun"}
+_VALID_SAMPLING_METHODS = {"pc", "ode", "heun", "dpmpp"}
 
 
 @pytest.mark.parametrize("rel", _leaves())
@@ -74,7 +74,7 @@ def test_config_leaf_loads_and_is_consistent(rel):
     sampling.get_corrector(config.sampling.corrector)
 
   # solver knobs present on every leaf (VERDICT r1 weak #7)
-  for knob in ("rtol", "atol", "eps", "heun_steps"):
+  for knob in ("rtol", "atol", "eps", "heun_steps", "dpmpp_steps"):
     assert knob in config.sampling, f"{rel}: missing sampling.{knob}"
 
   assert config.data.image_size in (28, 32, 64, 128, 256, 1024), rel

@@ -205,3 +205,15 @@ def test_vp_pc_samples_match_data_moments(trained_vp):
       n_steps=1, continuous=True, denoise=True, eps=1e-3)
   samples, _ = fn(jax.random.PRNGKey(11), state.ema.params)
   _check_moments(samples, "vp-pc")
+
+
+def test_ve_dpmpp_samples_match_data_moments(trained_ve):
+  """DPM-Solver++(2M) at 20 single-NFE steps reproduces the learned
+  distribution's moments — 1/5 the NFE of the heun test above."""
+  _, sde, model_def, state, _ = trained_ve
+  fn = sampling.get_dpmpp_sampler(sde, model_def, (256,) + SHAPE,
+                                  lambda x: x, n_steps=20, denoise=True,
+                                  continuous=True, eps=1e-5)
+  samples, nfe = fn(jax.random.PRNGKey(10), state.ema.params)
+  assert int(nfe) == 21
+  _check_moments(samples, "dpmpp")

@@ -240,3 +240,24 @@ def test_sharded_eval_step_matches_single_device():
   _, loss8 = eval_sharded(state, parallel.shard_batch(np.asarray(batch),
                                                       mesh))
   np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+
+
+def test_sharded_dpmpp_sampler_matches_single_device():
+  from score_sde_pytorch_tpu import sampling
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config()
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=100)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  shape = (8, 16, 16, 3)
+  single = sampling.get_dpmpp_sampler(sde, model_def, shape, lambda x: x,
+                                      n_steps=4, eps=1e-5)
+  mesh = parallel.create_mesh()
+  sharded = sampling.get_dpmpp_sampler(sde, model_def, shape, lambda x: x,
+                                       n_steps=4, eps=1e-5, mesh=mesh)
+  x1, _ = single(jax.random.PRNGKey(6), variables["params"])
+  x8, _ = sharded(jax.random.PRNGKey(6), variables["params"])
+  np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
+                             rtol=1e-4, atol=1e-5)

@@ -258,7 +258,7 @@ def test_get_sampling_fn_dispatch_heun():
 
 
 @pytest.mark.parametrize("sde_name", ["vesde", "vpsde", "subvpsde"])
-@pytest.mark.parametrize("method", ["pc", "ode", "heun"])
+@pytest.mark.parametrize("method", ["pc", "ode", "heun", "dpmpp"])
 def test_sde_x_sampler_matrix_smoke(sde_name, method):
   """E2E smoke of every SDE × sampler cell on a tiny model (SURVEY §4(e))."""
   import ml_collections
@@ -271,7 +271,7 @@ def test_sde_x_sampler_matrix_smoke(sde_name, method):
   cfg.sampling = ml_collections.ConfigDict({
       "method": method, "predictor": "euler_maruyama", "corrector": "none",
       "snr": 0.16, "n_steps_each": 1, "probability_flow": False,
-      "noise_removal": method != "ode", "heun_steps": 3})
+      "noise_removal": method != "ode", "heun_steps": 3, "dpmpp_steps": 3})
   cfg.model.num_scales = 6
   from score_sde_pytorch_tpu import sde as sdelib
   sde = sdelib.build_sde(cfg)
@@ -385,3 +385,94 @@ def test_heun_steps_from_config():
                                 lambda x: x)
   _, nfe = fn(jax.random.PRNGKey(1), variables["params"])
   assert int(nfe) == 2 * 3  # 2 NFE per Heun step
+
+
+def test_dpmpp_sampler_gaussian_few_steps():
+  """DPM-Solver++(2M) through the real get_dpmpp_sampler API: an analytic
+  VE-continuous score module (labels are sigma(t), output IS the score —
+  models/utils.py VE convention) for data ~ N(0, s_d^2 I); 12 single-NFE
+  steps must recover the data moments."""
+  import flax.linen as nn
+
+  s_d = 1.0
+
+  class AnalyticVEModule(nn.Module):
+
+    @nn.compact
+    def __call__(self, x, labels, train=False):
+      self.param("unused", nn.initializers.zeros, (1,))
+      sig = labels.reshape((-1,) + (1,) * (x.ndim - 1))
+      return -x / (s_d ** 2 + sig ** 2)
+
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+  shape = (512, 2, 2, 1)
+  model_def = AnalyticVEModule()
+  variables = model_def.init(jax.random.PRNGKey(0),
+                             jnp.zeros(shape), jnp.zeros((shape[0],)))
+  fn = sampling.get_dpmpp_sampler(sde, model_def, shape, lambda x: x,
+                                  n_steps=12, denoise=True, continuous=True,
+                                  eps=1e-5)
+  samples, nfe = fn(jax.random.PRNGKey(1), variables["params"])
+  samples = np.asarray(samples)
+  assert int(nfe) == 13
+  assert abs(samples.mean()) < 0.1
+  assert abs(samples.std() - s_d) < 0.1
+
+
+def test_dpmpp_first_step_first_order_exactness():
+  """For Gaussian data the data-prediction is linear in x, so the FIRST
+  dpmpp step (1st-order, exact linear part) must land exactly on the
+  closed-form conditional: x1 = (s1/s0) x0 - (e^{-h}-1) x0_pred."""
+  import flax.linen as nn
+
+  class AnalyticVEModule(nn.Module):
+
+    @nn.compact
+    def __call__(self, x, labels, train=False):
+      self.param("unused", nn.initializers.zeros, (1,))
+      sig = labels.reshape((-1,) + (1,) * (x.ndim - 1))
+      return -x / (1.0 + sig ** 2)
+
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+  shape = (4, 2, 2, 1)
+  model_def = AnalyticVEModule()
+  variables = model_def.init(jax.random.PRNGKey(0),
+                             jnp.zeros(shape), jnp.zeros((shape[0],)))
+  n_steps = 1
+  fn = sampling.get_dpmpp_sampler(sde, model_def, shape, lambda x: x,
+                                  n_steps=n_steps, denoise=False,
+                                  continuous=True, eps=0.5)
+  samples, _ = fn(jax.random.PRNGKey(3), variables["params"])
+
+  # Closed form of the same step on the same prior draw.
+  rng, prior_rng = jax.random.split(jax.random.PRNGKey(3))
+  x0 = sde.prior_sampling(prior_rng, shape)
+  ts = jnp.linspace(sde.T, 0.5, 2)
+  s0 = sde.marginal_prob(jnp.zeros(shape), jnp.full((shape[0],), ts[0]))[1][0]
+  s1 = sde.marginal_prob(jnp.zeros(shape), jnp.full((shape[0],), ts[1]))[1][0]
+  h = jnp.log(s0) - jnp.log(s1)
+  x0_pred = x0 * (1.0 / (1.0 + s0 ** 2))
+  expected = (s1 / s0) * x0 - jnp.expm1(-h) * x0_pred
+  np.testing.assert_allclose(np.asarray(samples), np.asarray(expected),
+                             rtol=1e-5, atol=1e-6)
+
+
+def test_get_sampling_fn_dispatch_dpmpp():
+  import ml_collections
+  from tests.test_models import tiny_config
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+
+  cfg = tiny_config()
+  cfg.sampling = ml_collections.ConfigDict({
+      "method": "dpmpp", "dpmpp_steps": 4, "snr": 0.16, "n_steps_each": 1,
+      "probability_flow": False, "noise_removal": True,
+      "predictor": "none", "corrector": "none"})
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=8)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  fn = sampling.get_sampling_fn(cfg, sde, model_def, (2, 16, 16, 3),
+                                lambda x: x)
+  samples, nfe = fn(jax.random.PRNGKey(1), variables["params"])
+  assert samples.shape == (2, 16, 16, 3)
+  assert int(nfe) == 4 + 1
+  assert np.isfinite(np.asarray(samples)).all()
