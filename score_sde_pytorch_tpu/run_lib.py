@@ -136,18 +136,30 @@ def train(config, workdir: str) -> None:
     jax.profiler.start_trace(io_utils.localize(os.path.join(workdir,
                                                             "profile")))
 
+  # Pipelined loop: jax dispatch is async, so after launching the n-step
+  # scan the host immediately prepares the NEXT chunk of batches while the
+  # device computes — data prep and the dispatch round-trip hide behind
+  # device time. Nothing below forces a device sync except at log /
+  # checkpoint / eval points: `step` is tracked host-side (the scan
+  # advances state.step by exactly n_jitted per call — reconciled at every
+  # numbered snapshot) and the loss value is only fetched when logged.
+  # The reference blocks on loss.item() every step (run_lib.py:133-134).
   step = initial_step
   t_last = time.time()
+  if step < num_train_steps:
+    batches = next_batches(train_iter)
   while step < num_train_steps:
-    state, loss = train_step(state, next_batches(train_iter))
-    step = int(state.step)
-    loss_val = float(jnp.mean(loss))
+    state, loss = train_step(state, batches)
+    step += n_jitted
+    if step < num_train_steps:
+      batches = next_batches(train_iter)
 
     if trace_steps and step - initial_step >= trace_steps:
       jax.profiler.stop_trace()
       trace_steps = 0
 
     if step % config.training.log_freq < n_jitted:
+      loss_val = float(jnp.mean(loss))
       dt = time.time() - t_last
       t_last = time.time()
       logging.info("step: %d, training_loss: %.5e (%.3f s/step)", step,
@@ -171,6 +183,7 @@ def train(config, workdir: str) -> None:
     if step % config.training.snapshot_freq < n_jitted or step >= num_train_steps:
       save_step = step // config.training.snapshot_freq
       if is_host0:
+        assert step == int(state.step), (step, int(state.step))
         ckpt_mgr.save_numbered(state, save_step)
 
       if config.training.snapshot_sampling and is_host0:
