@@ -71,6 +71,15 @@ def main():
   save_image(make_grid(np.clip(np.asarray(ode_samples), 0, 1), 4),
              os.path.join(args.out, "ode_samples.png"))
 
+  # --- DPM-Solver++(2M) fast sampling (beyond-reference; 1 NFE/step) ---
+  dpmpp_sampler = sampling.get_dpmpp_sampler(sde, model_def, shape,
+                                             inverse_scaler, n_steps=20,
+                                             denoise=True, continuous=True)
+  dpmpp_samples, nfe = dpmpp_sampler(jax.random.PRNGKey(9), params)
+  print(f"dpmpp sampling: {int(nfe)} network evaluations")
+  save_image(make_grid(np.clip(np.asarray(dpmpp_samples), 0, 1), 4),
+             os.path.join(args.out, "dpmpp_samples.png"))
+
   # --- Likelihood (bits/dim) ---
   likelihood_fn = likelihood_lib.get_likelihood_fn(sde, model_def,
                                                    inverse_scaler)

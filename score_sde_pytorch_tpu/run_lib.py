@@ -298,7 +298,9 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
       for _ in range(n_batches):
         batch = shard_eval_batch(scaler(next(eval_iter)))
         state, loss = eval_step(state, batch)
-        all_losses.append(float(loss))
+        all_losses.append(loss)  # device scalar; fetch deferred below so
+        # host batch prep overlaps device compute (async dispatch)
+      all_losses = [float(l) for l in all_losses]
       io_utils.save_npz(
           os.path.join(eval_dir, f"ckpt_{ckpt}_loss.npz"),
           all_losses=np.asarray(all_losses),
@@ -315,7 +317,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         rng, bpd_rng = jax.random.split(rng)
         bpd_rng = losses.as_prng_impl(bpd_rng, prng_impl)
         bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
-        bpds.extend(np.asarray(bpd).tolist())
+        bpds.append(bpd)  # device array; fetch deferred (as in eval-loss)
+      bpds = np.concatenate([np.asarray(b) for b in bpds]).tolist()
       io_utils.save_npz(
           os.path.join(eval_dir, f"{config.eval.bpd_dataset}_ckpt_{ckpt}_bpd.npz"),
           bpd=np.asarray(bpds))
