@@ -62,7 +62,7 @@ def fused_leaky_relu_pallas(x: Array, bias: Array | None = None,
     v = x_ref[:] + b_ref[:]
     o_ref[:] = jnp.where(v >= 0, v, v * negative_slope) * scale
 
-  space = pltpu.ANY if interpret else pltpu.VMEM
+  space = pl.ANY if interpret else pltpu.VMEM
   out = pl.pallas_call(
       kernel,
       grid=(n_blocks,),
