@@ -12,7 +12,7 @@ n_jitted from config) on the synthetic dataset for `n_iters` steps,
 parses the `(X s/step)` log lines, and reports the median of the
 post-warmup lines (first line includes compile; dropped).
 
-    python tools/train_wall_bench.py [n_iters] [log_freq]
+    python tools/train_wall_bench.py [n_iters] [log_freq] [config] [batch]
 """
 import json
 import os
@@ -27,12 +27,15 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 def main():
   n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 600
   log_freq = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+  config = (sys.argv[3] if len(sys.argv) > 3 else
+            "score_sde_pytorch_tpu/configs/ve/cifar10_ncsnpp_continuous.py")
+  batch = int(sys.argv[4]) if len(sys.argv) > 4 else 128
   workdir = tempfile.mkdtemp(prefix="train_wall_")
   cmd = [
       sys.executable, "-m", "score_sde_pytorch_tpu.main",
-      "--config",
-      "score_sde_pytorch_tpu/configs/ve/cifar10_ncsnpp_continuous.py",
+      "--config", config,
       "--workdir", workdir, "--mode", "train",
+      f"--config.training.batch_size={batch}",
       f"--config.training.n_iters={n_iters}",
       f"--config.training.log_freq={log_freq}",
       "--config.training.eval_freq=1000000",
@@ -55,7 +58,7 @@ def main():
       "n_iters": n_iters, "log_lines": len(lines),
       "median_s_per_step": round(med, 4),
       "ms_per_step": round(med * 1e3, 1),
-      "imgs_per_s": round(128 / med, 1),
+      "imgs_per_s": round(batch / med, 1),
       "first_line_s_per_step": round(float(lines[0][1]), 2),
       "final_loss": float(lines[-1][0]),
   }), flush=True)
