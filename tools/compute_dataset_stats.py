@@ -27,6 +27,9 @@ flags.mark_flags_as_required(["config"])
 
 def main(argv):
   from score_sde_pytorch_tpu import datasets, evaluation
+  from score_sde_pytorch_tpu.utils.platform import sync_platform_from_env
+
+  sync_platform_from_env()
 
   config = FLAGS.config
   images = datasets.materialize(datasets.load_raw_dataset(config, FLAGS.split))
