@@ -280,7 +280,40 @@ def bench_model_zoo(on_accelerator):
   return out
 
 
+def _devices_or_die(timeout_s: float = 300.0):
+  """Backend init with a deadline.
+
+  On relayed TPU backends a dead tunnel makes ``jax.devices()`` block
+  forever inside the PJRT client constructor; a bench that hangs is worse
+  than one that reports failure. Init in a daemon thread; if it misses
+  the deadline, emit the one-line JSON contract with an error and exit
+  (the C-API call is not interruptible, hence ``os._exit``).
+  """
+  import os
+  import threading
+  box = {}
+
+  def init():
+    import jax
+    box["devices"] = jax.devices()
+
+  t = threading.Thread(target=init, daemon=True)
+  t.start()
+  t.join(timeout_s)
+  if "devices" not in box:
+    print(json.dumps({
+        "metric": "sampling_throughput", "value": None,
+        "unit": "samples/s/chip", "vs_baseline": None,
+        "extra": {"error": f"backend init exceeded {timeout_s:.0f}s "
+                           "(TPU tunnel down?)"}}), flush=True)
+    os._exit(3)
+  return box["devices"]
+
+
 def main():
+  from score_sde_pytorch_tpu.utils.platform import sync_platform_from_env
+  sync_platform_from_env()
+  _devices_or_die()
   import jax
   import score_sde_pytorch_tpu.models  # noqa: F401  (registry)
   from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
