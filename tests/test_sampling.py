@@ -457,6 +457,47 @@ def test_dpmpp_first_step_first_order_exactness():
                              rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("sde_cls", [sde_lib.VPSDE, sde_lib.SubVPSDE])
+def test_dpmpp_sampler_gaussian_vp_family(sde_cls):
+  """dpmpp is generic over any SDE with x_t = α(t)x0 + σ(t)ε — exercise
+  the VP/subVP branch of the score-fn adapter (labels t·999, output is a
+  noise prediction scaled by -1/std, models/utils.py:114-123). Data
+  ~ N(0, s_d² I): perturbed score = -x/(α²s_d² + σ²), so the network's
+  noise prediction is ε̂ = x·σ/(α²s_d² + σ²). The VP λ-range
+  (λ: -5.05 → 4.6 at β∈[0.1,20]) is wider than VE's, so 50 single-NFE
+  steps are needed for tight moments (measured convergence: std 0.927 /
+  0.789 / 0.731 / 0.714 at 12/25/50/100 steps, target 0.7)."""
+  import flax.linen as nn
+
+  s_d = 0.7
+  sde = sde_cls(beta_min=0.1, beta_max=20.0, N=200)
+
+  class AnalyticEpsModule(nn.Module):
+
+    @nn.compact
+    def __call__(self, x, labels, train=False):
+      self.param("unused", nn.initializers.zeros, (1,))
+      t = labels / 999.0
+      ones = jnp.ones_like(x)
+      alpha = sde.marginal_prob(ones, t)[0]
+      sigma = sde.marginal_prob(jnp.zeros_like(x), t)[1]
+      sigma = sigma.reshape((-1,) + (1,) * (x.ndim - 1))
+      return x * sigma / (alpha ** 2 * s_d ** 2 + sigma ** 2)
+
+  shape = (512, 2, 2, 1)
+  model_def = AnalyticEpsModule()
+  variables = model_def.init(jax.random.PRNGKey(0),
+                             jnp.zeros(shape), jnp.zeros((shape[0],)))
+  fn = sampling.get_dpmpp_sampler(sde, model_def, shape, lambda x: x,
+                                  n_steps=50, denoise=True, continuous=True,
+                                  eps=1e-3)
+  samples, nfe = fn(jax.random.PRNGKey(1), variables["params"])
+  samples = np.asarray(samples)
+  assert int(nfe) == 51
+  assert abs(samples.mean()) < 0.05
+  assert abs(samples.std() - s_d) < 0.05
+
+
 def test_get_sampling_fn_dispatch_dpmpp():
   import ml_collections
   from tests.test_models import tiny_config
