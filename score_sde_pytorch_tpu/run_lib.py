@@ -6,6 +6,7 @@ host logging, Orbax two-tier checkpoints, sampling inside jit.
 """
 from __future__ import annotations
 
+import collections
 import logging
 import os
 import time
@@ -146,6 +147,15 @@ def train(config, workdir: str) -> None:
   # The reference blocks on loss.item() every step (run_lib.py:133-134).
   step = initial_step
   t_last = time.time()
+  # Bound the async-dispatch queue: each enqueued chunk holds its batches
+  # in device HBM, and the host can outrun the device by
+  # log_freq/n_jitted chunks between sync points — GB-scale on the
+  # memory-tight 256px/1024px configs. Keep ≤ MAX_INFLIGHT chunks queued
+  # by fetching one scalar from the oldest chunk's loss (a host fetch is
+  # the reliable completion barrier on relayed backends); the fetch
+  # overlaps the still-queued younger chunks, so pipelining is preserved.
+  MAX_INFLIGHT = 2
+  inflight = collections.deque()
   if step < num_train_steps:
     batches = next_batches(train_iter)
   while step < num_train_steps:
@@ -153,8 +163,12 @@ def train(config, workdir: str) -> None:
     step += n_jitted
     if step < num_train_steps:
       batches = next_batches(train_iter)
+    inflight.append(loss)
+    if len(inflight) > MAX_INFLIGHT:
+      _ = np.asarray(inflight.popleft())  # completion barrier (see above)
 
     if trace_steps and step - initial_step >= trace_steps:
+      np.asarray(loss)  # complete the window's final chunk on-device
       jax.profiler.stop_trace()
       trace_steps = 0
 
@@ -331,8 +345,15 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         rng, sample_rng = jax.random.split(rng)
         sample_rng = losses.as_prng_impl(sample_rng, prng_impl)
         samples, _ = sampling_fn(sample_rng, ema_params)
-        samples_u8 = np.clip(np.asarray(samples) * 255.0, 0,
-                             255).astype(np.uint8)
+        samples_np = np.asarray(samples)
+        if not np.isfinite(samples_np).all():
+          # The ODE sampler returns all-NaN on solver non-convergence
+          # (ode.py failure contract); clip+uint8 would silently turn
+          # that into black images and a finite, meaningless FID.
+          raise RuntimeError(
+              f"non-finite samples at ckpt {ckpt} round {r} "
+              f"(sampler={config.sampling.method}; ODE non-convergence?)")
+        samples_u8 = np.clip(samples_np * 255.0, 0, 255).astype(np.uint8)
         io_utils.save_npz(
             os.path.join(eval_dir, f"ckpt_{ckpt}_samples_{r}.npz"),
             samples=samples_u8)

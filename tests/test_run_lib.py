@@ -56,6 +56,21 @@ def test_train_pipeline_end_to_end(workdir):
   assert pngs, "no snapshot sample grid written"
 
 
+def test_train_trace_window_writes_profile(tmp_path):
+  """training.trace_steps captures a windowed profiler trace; the stop
+  is preceded by a device sync so the window contains the dispatched
+  steps (pipelined loop does not sync per-iteration otherwise)."""
+  from score_sde_pytorch_tpu import run_lib
+  cfg = _pipeline_config()
+  cfg.training.trace_steps = 2
+  cfg.training.snapshot_sampling = False
+  wd = str(tmp_path / "wd")
+  run_lib.train(cfg, wd)
+  prof_files = glob.glob(os.path.join(wd, "profile", "**", "*"),
+                         recursive=True)
+  assert any(os.path.isfile(p) for p in prof_files), prof_files
+
+
 def test_train_resumes_from_meta(workdir):
   """Re-running train with a higher n_iters resumes from the rolling meta
   checkpoint instead of restarting at 0."""

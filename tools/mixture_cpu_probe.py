@@ -83,6 +83,12 @@ def main():
                                     lambda x: x, n_steps=n, denoise=True,
                                     continuous=True, eps=1e-5)
     out[f"dpmpp{n}"] = frac(fn(jax.random.PRNGKey(13), params)[0])
+  fn = sampling.get_pc_sampler(
+      sde, model_def, (256,) + SHAPE,
+      sampling.get_predictor("reverse_diffusion"),
+      sampling.get_corrector("langevin"), lambda x: x, snr=0.16,
+      n_steps=1, continuous=True, denoise=True, eps=1e-5)
+  out["pc200"] = frac(fn(jax.random.PRNGKey(13), params)[0])
   print("FINAL " + json.dumps(out), flush=True)
 
 
