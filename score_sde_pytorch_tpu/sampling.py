@@ -460,6 +460,8 @@ def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
                            denoise=config.sampling.noise_removal,
                            rtol=config.sampling.get("rtol", 1e-5),
                            atol=config.sampling.get("atol", 1e-5), eps=eps,
+                           max_steps=config.sampling.get("ode_max_steps",
+                                                         10000),
                            mesh=mesh)
   elif sampler_name.lower() == "heun":
     return get_heun_sampler(

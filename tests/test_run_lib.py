@@ -71,6 +71,33 @@ def test_train_trace_window_writes_profile(tmp_path):
   assert any(os.path.isfile(p) for p in prof_files), prof_files
 
 
+def test_evaluate_raises_on_nonfinite_samples(tmp_path, monkeypatch):
+  """The ODE sampler returns all-NaN on non-convergence (ode.py failure
+  contract); evaluate() must refuse to launder that into black uint8
+  images and a finite FID."""
+  import jax.numpy as jnp
+  import pytest as _pytest
+  from score_sde_pytorch_tpu import run_lib, sampling
+
+  workdir = str(tmp_path / "wd")
+  cfg = _pipeline_config()
+  cfg.training.n_iters = 5
+  cfg.training.snapshot_freq = 4
+  cfg.training.snapshot_sampling = False
+  cfg.eval.update({"enable_loss": False, "enable_bpd": False,
+                   "enable_sampling": True, "num_samples": 8,
+                   "begin_ckpt": 1, "end_ckpt": 1})
+  run_lib.train(cfg, workdir)
+
+  def nan_sampling_fn(config, sde, model_def, shape, inverse_scaler,
+                      eps=None, mesh=None):
+    return lambda rng, params: (jnp.full(shape, jnp.nan), 0)
+
+  monkeypatch.setattr(sampling, "get_sampling_fn", nan_sampling_fn)
+  with _pytest.raises(RuntimeError, match="non-finite samples"):
+    run_lib.evaluate(cfg, workdir, "eval")
+
+
 def test_train_resumes_from_meta(workdir):
   """Re-running train with a higher n_iters resumes from the rolling meta
   checkpoint instead of restarting at 0."""

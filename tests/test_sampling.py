@@ -179,6 +179,30 @@ def test_ode_sampler_nonconvergence_yields_nan():
   assert np.all(np.isnan(np.asarray(samples)))
 
 
+def test_get_sampling_fn_honors_ode_max_steps():
+  """config.sampling.ode_max_steps reaches the RK45 solver: an
+  unreachable-tolerance budget of 3 steps must trip the NaN failure
+  contract through the config dispatcher too."""
+  import ml_collections
+  from tests.test_models import tiny_config
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+
+  cfg = tiny_config()
+  cfg.training.sde = "vesde"
+  cfg.sampling = ml_collections.ConfigDict({
+      "method": "ode", "predictor": "none", "corrector": "none",
+      "snr": 0.16, "n_steps_each": 1, "probability_flow": True,
+      "noise_removal": False, "rtol": 1e-8, "atol": 1e-10,
+      "ode_max_steps": 3})
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=100)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  fn = sampling.get_sampling_fn(cfg, sde, model_def, (2, 16, 16, 3),
+                                lambda x: x, eps=1e-5)
+  samples, _ = fn(jax.random.PRNGKey(1), variables["params"])
+  assert np.all(np.isnan(np.asarray(samples)))
+
+
 def test_ode_encode_decode_roundtrip():
   """Uniquely identifiable encoding (paper §4.3): data → latent via the
   forward prob-flow ODE, then latent → data via the ODE sampler with z given
