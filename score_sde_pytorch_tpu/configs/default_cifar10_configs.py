@@ -40,6 +40,10 @@ def get_default_configs():
   sampling.atol = 1e-5
   sampling.heun_steps = 50
   sampling.dpmpp_steps = 20
+  # SDE-DPM-Solver++(2M): per-step noise injection restores the stochastic
+  # mode mixing deterministic prob-flow solvers lack (PARITY.md mixture
+  # proof) at the same 1 NFE/step.
+  sampling.dpmpp_stochastic = False
   # Integration endpoint; <=0 → per-SDE default (1e-3 VP/subVP, 1e-5 VE —
   # reference run_lib.py:90-100 sampling_eps).
   sampling.eps = -1.0

@@ -292,6 +292,115 @@ def ddpm_param_map(config) -> List[Tuple[str, str, str]]:
   return rows
 
 
+def _in2plus(prefix_t, prefix_f, out, bias=True):
+  """InstanceNorm2dPlus params (reference normalization.py:157-178):
+  alpha/gamma/beta vectors pass through unchanged."""
+  out.append((f"{prefix_t}.alpha", f"{prefix_f}/alpha", "copy"))
+  out.append((f"{prefix_t}.gamma", f"{prefix_f}/gamma", "copy"))
+  if bias:
+    out.append((f"{prefix_t}.beta", f"{prefix_f}/beta", "copy"))
+
+
+def _v2_resblock(t, f, out, *, resample, dilation, has_shortcut,
+                 adjust_padding=False):
+  """NCSNv2 ResidualBlock rows (reference layers.py:453-507). Torch names
+  are attributes (normalize1/conv1/...); ConvMeanPool nests its conv as
+  ``.conv`` (``.conv.1`` behind the ZeroPad2d Sequential when
+  adjust_padding, reference layers.py:355-363)."""
+  _in2plus(f"{t}.normalize1", f"{f}/Norm_0", out)
+  _in2plus(f"{t}.normalize2", f"{f}/Norm_1", out)
+  _conv(f"{t}.conv1", f"{f}/Conv_0", out)
+  if resample == "down" and dilation == 1:
+    seq = ".1" if adjust_padding else ""
+    _conv(f"{t}.conv2.conv{seq}", f"{f}/Conv_1/Conv_0", out)
+    _conv(f"{t}.shortcut.conv{seq}", f"{f}/Shortcut/Conv_0", out)
+  else:
+    _conv(f"{t}.conv2", f"{f}/Conv_1", out)
+    if resample == "down" or has_shortcut:
+      _conv(f"{t}.shortcut", f"{f}/Shortcut", out)
+
+
+def _rcu_rows(t, f, out, n_blocks, n_stages=2):
+  """RCUBlock convs: torch ``{b}_{s}_conv`` attrs, bias-free
+  (reference layers.py:184-206)."""
+  for b in range(1, n_blocks + 1):
+    for s in range(1, n_stages + 1):
+      _conv_nobias(f"{t}.{b}_{s}_conv", f"{f}/Conv_{b}_{s}", out)
+
+
+def _refine_rows(t, f, out, *, n_inputs, start=False, end=False):
+  """RefineBlock rows (reference layers.py:277-310): per-input adapt RCUs,
+  MSF fusion convs (absent when start), CRP convs, output RCU (3 blocks
+  when end)."""
+  for i in range(n_inputs):
+    _rcu_rows(f"{t}.adapt_convs.{i}", f"{f}/RCU_{i}", out, 2)
+  _rcu_rows(f"{t}.output_convs", f"{f}/RCU_out", out, 3 if end else 1)
+  if not start:
+    for i in range(n_inputs):
+      _conv(f"{t}.msf.convs.{i}", f"{f}/MSF/Conv_{i}", out)
+  for i in range(2):
+    _conv_nobias(f"{t}.crp.convs.{i}", f"{f}/CRP/Conv_{i}", out)
+
+
+def ncsnv2_param_map(config) -> List[Tuple[str, str, str]]:
+  """NCSNv2 64/128/256 map (reference ncsnv2.py:43-130,222-313,316-415).
+
+  Unlike NCSN++/DDPM these are named-attribute models (no positional
+  ModuleList replay) — the map walks the attribute tree. Only the shipped
+  ``InstanceNorm++`` normalization is supported.
+
+  NOTE on the reference: as shipped, this family cannot run — two latent
+  bugs make it (a) non-constructible (``ncsn_conv3x3(bias=False)`` hits
+  ``conv.bias.data`` on a None bias, reference layers.py:114, used by every
+  RCU/CRP block) and (b) shape-inconsistent in the dilated ResidualBlocks
+  (``padding=1`` with dilation>1 shrinks the main path more than the
+  shortcut, layers.py:108-116,507 — the upstream ermongroup/ncsnv2 code
+  these were ported from uses ``padding=dilation``). This map (and our
+  models) implement the upstream-correct semantics; the interop parity test
+  patches the two reference bugs the same way to compare numerics."""
+  if config.model.normalization != "InstanceNorm++":
+    raise NotImplementedError(
+        f"ncsnv2 interop supports InstanceNorm++ only, "
+        f"got {config.model.normalization}")
+  name = config.model.name
+  nf = config.model.nf
+  adjust = config.data.image_size == 28
+  # (torch attr, resample of block 0, dilation, adjust_padding);
+  # every pair's second block is (out→out, resample=None) — no shortcut.
+  if name == "ncsnv2_64":
+    res = [("res1", None, 1, False), ("res2", "down", 1, False),
+           ("res3", "down", 2, False), ("res4", "down", 4, adjust)]
+    refines = ["refine1", "refine2", "refine3", "refine4"]
+  elif name == "ncsnv2_128":
+    res = [("res1", None, 1, False), ("res2", "down", 1, False),
+           ("res3", "down", 1, False), ("res4", "down", 2, False),
+           ("res5", "down", 4, False)]
+    refines = ["refine1", "refine2", "refine3", "refine4", "refine5"]
+  elif name == "ncsnv2_256":
+    res = [("res1", None, 1, False), ("res2", "down", 1, False),
+           ("res3", "down", 1, False), ("res31", "down", 1, False),
+           ("res4", "down", 2, False), ("res5", "down", 4, False)]
+    refines = ["refine1", "refine2", "refine31", "refine3", "refine4",
+               "refine5"]
+  else:
+    raise NotImplementedError(f"unknown ncsnv2 variant {name}")
+  del nf  # channel counts do not affect the row structure
+
+  rows: List[Tuple[str, str, str]] = []
+  _conv("begin_conv", "begin_conv", rows)
+  _in2plus("normalizer", "normalizer", rows)
+  _conv("end_conv", "end_conv", rows)
+  for attr, resample, dilation, adj in res:
+    _v2_resblock(f"{attr}.0", f"{attr}_0", rows, resample=resample,
+                 dilation=dilation, has_shortcut=False, adjust_padding=adj)
+    _v2_resblock(f"{attr}.1", f"{attr}_1", rows, resample=None,
+                 dilation=dilation, has_shortcut=False)
+  for k, attr in enumerate(refines):
+    _refine_rows(attr, attr, rows, n_inputs=1 if k == 0 else 2,
+                 start=k == 0, end=k == len(refines) - 1)
+  return rows
+
+
 def _transform(arr: np.ndarray, kind: str) -> np.ndarray:
   if kind == "conv":
     assert arr.ndim == 4, arr.shape
@@ -320,6 +429,8 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
     rows = ncsnpp_param_map(config)
   elif name == "ddpm":
     rows = ddpm_param_map(config)
+  elif name in ("ncsnv2_64", "ncsnv2_128", "ncsnv2_256"):
+    rows = ncsnv2_param_map(config)
   else:
     raise NotImplementedError(f"interop for model {name} not implemented")
 

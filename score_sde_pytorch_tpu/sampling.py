@@ -378,8 +378,9 @@ def get_heun_sampler(sde, model_def, shape, inverse_scaler,
 
 def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
                       n_steps: int = 20, denoise: bool = False,
-                      continuous: bool = True, eps: float = 1e-3, mesh=None):
-  """DPM-Solver++(2M): deterministic multistep 2nd-order prob-flow sampler.
+                      continuous: bool = True, eps: float = 1e-3,
+                      stochastic: bool = False, mesh=None):
+  """DPM-Solver++(2M): multistep 2nd-order fast sampler, 1 NFE/step.
 
   Beyond-reference extension (Lu et al. 2022, PAPERS.md): integrates the
   probability-flow ODE in half-log-SNR time λ = log(α/σ) with the
@@ -389,6 +390,15 @@ def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
   (vs heun's 2) and ~20 steps match the 100-NFE heun chain. One jitted
   `lax.scan`. Generic over any SDE whose perturbation kernel is
   x_t = α(t)·x0 + σ(t)·ε (VE: α=1; VP/subVP via marginal_prob).
+
+  ``stochastic=True`` selects SDE-DPM-Solver++(2M): the same multistep
+  data-prediction D, but the exact solution of the reverse *SDE* instead
+  of the ODE — the linear part contracts twice as fast (e^{-h} on x,
+  1−e^{-2h} on D) and fresh noise σ_{i+1}·√(1−e^{-2h})·ε is injected each
+  step. Still 1 NFE/step. The injected noise plays the role of the PC
+  chain's Langevin churn: it restores the stochastic mixing that the
+  deterministic prob-flow samplers lack (the measured mixture mode-balance
+  failure of heun/dpmpp — see tests/test_learning.py and PARITY.md).
 
   ``mesh``: as in `get_ode_sampler` (batch sharded over the data axis).
   """
@@ -414,8 +424,10 @@ def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
 
     rng, prior_rng = jax.random.split(rng)
     x = constrain(sde.prior_sampling(prior_rng, shape))
+    step_rngs = jax.random.split(rng, n_steps)
 
-    def step(carry, i):
+    def step(carry, inp):
+      i, step_rng = inp
       x, prev_x0 = carry
       h = lams[i + 1] - lams[i]
       h_prev = lams[i] - lams[jnp.maximum(i - 1, 0)]
@@ -426,11 +438,18 @@ def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
       D = jnp.where(i > 0,
                     (1.0 + 1.0 / (2.0 * r)) * x0 - prev_x0 / (2.0 * r),
                     x0)
-      x = (sigmas[i + 1] / sigmas[i]) * x \
-          - alphas[i + 1] * jnp.expm1(-h) * D
+      if stochastic:
+        noise = constrain(jax.random.normal(step_rng, shape))
+        x = (sigmas[i + 1] / sigmas[i]) * jnp.exp(-h) * x \
+            - alphas[i + 1] * jnp.expm1(-2.0 * h) * D \
+            + sigmas[i + 1] * jnp.sqrt(-jnp.expm1(-2.0 * h)) * noise
+      else:
+        x = (sigmas[i + 1] / sigmas[i]) * x \
+            - alphas[i + 1] * jnp.expm1(-h) * D
       return (x, x0), None
 
-    (x, _), _ = jax.lax.scan(step, (x, x), jnp.arange(n_steps))
+    (x, _), _ = jax.lax.scan(step, (x, x),
+                             (jnp.arange(n_steps), step_rngs))
     nfe = n_steps
     if denoise:
       # final data prediction at eps (Tweedie; cf. heun's denoise tail)
@@ -474,7 +493,9 @@ def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,
         sde, model_def, shape, inverse_scaler,
         n_steps=config.sampling.get("dpmpp_steps", 20),
         denoise=config.sampling.noise_removal,
-        continuous=config.training.continuous, eps=eps, mesh=mesh)
+        continuous=config.training.continuous, eps=eps,
+        stochastic=config.sampling.get("dpmpp_stochastic", False),
+        mesh=mesh)
   elif sampler_name.lower() == "pc":
     predictor = get_predictor(config.sampling.predictor.lower())
     corrector = get_corrector(config.sampling.corrector.lower())

@@ -83,6 +83,12 @@ def main():
                                     lambda x: x, n_steps=n, denoise=True,
                                     continuous=True, eps=1e-5)
     out[f"dpmpp{n}"] = frac(fn(jax.random.PRNGKey(13), params)[0])
+  for n in (10, 20, 40, 100):
+    fn = sampling.get_dpmpp_sampler(sde, model_def, (256,) + SHAPE,
+                                    lambda x: x, n_steps=n, denoise=True,
+                                    continuous=True, eps=1e-5,
+                                    stochastic=True)
+    out[f"sde_dpmpp{n}"] = frac(fn(jax.random.PRNGKey(13), params)[0])
   fn = sampling.get_pc_sampler(
       sde, model_def, (256,) + SHAPE,
       sampling.get_predictor("reverse_diffusion"),
