@@ -424,15 +424,7 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
   """Convert a reference model state_dict (numpy values) to a flax params
   tree for the equivalent model here. Raises if any torch key is missing or
   left unconsumed (structural check)."""
-  name = config.model.name
-  if name == "ncsnpp":
-    rows = ncsnpp_param_map(config)
-  elif name == "ddpm":
-    rows = ddpm_param_map(config)
-  elif name in ("ncsnv2_64", "ncsnv2_128", "ncsnv2_256"):
-    rows = ncsnv2_param_map(config)
-  else:
-    raise NotImplementedError(f"interop for model {name} not implemented")
+  rows = _param_rows(config)
 
   # The reference wraps in DataParallel → keys may carry "module." prefix;
   # `sigmas` is a buffer, not a param.
@@ -457,6 +449,70 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
     raise ValueError(f"unconsumed reference params: {sorted(leftovers)[:8]}"
                      f" (+{max(0, len(leftovers) - 8)} more)")
   return tree
+
+
+def _param_rows(config) -> List[Tuple[str, str, str]]:
+  name = config.model.name
+  if name == "ncsnpp":
+    return ncsnpp_param_map(config)
+  if name == "ddpm":
+    return ddpm_param_map(config)
+  if name in ("ncsnv2_64", "ncsnv2_128", "ncsnv2_256"):
+    return ncsnv2_param_map(config)
+  raise NotImplementedError(f"interop for model {name} not implemented")
+
+
+def _inverse_transform(arr: np.ndarray, kind: str) -> np.ndarray:
+  if kind == "conv":
+    assert arr.ndim == 4, arr.shape
+    return np.transpose(arr, (3, 2, 0, 1))  # HWIO → OIHW
+  if kind == "dense":
+    assert arr.ndim == 2
+    return arr.T
+  return arr
+
+
+def _lookup(tree: Dict, path: str) -> np.ndarray:
+  node = tree
+  for p in path.split("/"):
+    node = node[p]
+  return np.asarray(node)
+
+
+def flax_params_to_torch_state_dict(params: Dict, config) -> Dict[str, np.ndarray]:
+  """Inverse of :func:`torch_state_dict_to_flax`: export a flax params tree
+  (e.g. the trained EMA params) as a reference-layout state_dict of numpy
+  arrays, so reference users can round-trip checkpoints in BOTH directions
+  (torch.save({'model': {k: torch.from_numpy(v) ...}}) gives a .pth the
+  reference's utils.py:7-19 restore consumes; reference params the map
+  drops — e.g. DDPM's unused unconditional Dense_0 — are emitted as
+  zeros)."""
+  shapes = _dropped_param_shapes(config)
+  out: Dict[str, np.ndarray] = {}
+  for torch_key, flax_path, kind in _param_rows(config):
+    if flax_path is None:
+      out[torch_key] = np.zeros(shapes[torch_key], np.float32)
+      continue
+    out[torch_key] = _inverse_transform(_lookup(params, flax_path), kind)
+  return out
+
+
+def _dropped_param_shapes(config) -> Dict[str, Tuple[int, ...]]:
+  """Shapes for consume-and-drop rows (reference-only unused params):
+  currently only DDPM's unconditional Dense_0 (temb projection of width
+  4·nf, reference ddpm.py:57 creates it even when conditional=False)."""
+  nf = config.model.nf
+  shapes: Dict[str, Tuple[int, ...]] = {}
+  for torch_key, flax_path, _ in _param_rows(config):
+    if flax_path is not None:
+      continue
+    if torch_key.endswith("Dense_0.weight"):
+      shapes[torch_key] = (nf * 4, nf * 4)
+    elif torch_key.endswith("Dense_0.bias"):
+      shapes[torch_key] = (nf * 4,)
+    else:
+      raise NotImplementedError(f"no shape rule for dropped {torch_key}")
+  return shapes
 
 
 def load_torch_checkpoint(path: str, config) -> Dict:

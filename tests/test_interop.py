@@ -194,6 +194,26 @@ def test_ncsnv2_map(name, size):
   _roundtrip_check(cfg, interop.ncsnv2_param_map(cfg))
 
 
+@pytest.mark.parametrize("cfg_fn", [
+    lambda: tiny_config(),
+    lambda: tiny_config(name="ddpm", embedding_type="positional",
+                        scale_by_sigma=False, conditional=False),
+    lambda: _ncsnv2_cfg("ncsnv2_64"),
+])
+def test_export_import_roundtrip(cfg_fn):
+  """flax → reference state_dict → flax is the identity (both directions of
+  checkpoint interop: reference users can leave AND come back)."""
+  cfg = cfg_fn()
+  _, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  params = jax.tree.map(np.asarray, variables["params"])
+  sd = interop.flax_params_to_torch_state_dict(params, cfg)
+  back = interop.torch_state_dict_to_flax(sd, cfg)
+  flat, flat_back = _flatten(params), _flatten(back)
+  assert set(flat) == set(flat_back)
+  for k in flat:
+    np.testing.assert_array_equal(flat[k], flat_back[k], err_msg=k)
+
+
 # ---------------------------------------------------------------------------
 # Numerical parity vs the actual reference implementation (CPU torch)
 # ---------------------------------------------------------------------------

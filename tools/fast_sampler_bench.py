@@ -54,6 +54,11 @@ def main():
       "dpmpp10": sampling.get_dpmpp_sampler(
           sde, model_def, shape, lambda x: x, n_steps=10, denoise=True,
           continuous=True, eps=1e-5),
+      # stochastic variant: same NFE, one extra rng draw per step — the
+      # per-sampler cost delta should be noise-level.
+      "sde_dpmpp20": sampling.get_dpmpp_sampler(
+          sde, model_def, shape, lambda x: x, n_steps=20, denoise=True,
+          continuous=True, eps=1e-5, stochastic=True),
   }
   rounds = 5 if on_accel else 1
   out = {}
