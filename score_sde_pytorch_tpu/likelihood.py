@@ -47,7 +47,8 @@ def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
   augmented-ODE integration (reference shards even its Inception pass,
   evaluation.py:107-146 — here the likelihood itself is SPMD).
   """
-  from score_sde_pytorch_tpu.parallel.mesh import batch_constraint
+  from score_sde_pytorch_tpu.parallel.mesh import (batch_constraint,
+                                                   place_replicated)
   constrain = batch_constraint(mesh)
 
   def drift_fn(params, x: Array, t: Array) -> Array:
@@ -96,4 +97,14 @@ def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
     bpd = jnp.where(status == ode_lib.STATUS_OK, bpd, jnp.nan)
     return bpd, z, nfe
 
-  return likelihood_fn
+  if mesh is None:
+    return likelihood_fn
+
+  def placed_likelihood_fn(rng: Array, params, data: Array):
+    # rng/params replicated on the mesh (committed single-device inputs —
+    # e.g. an Orbax restore — would otherwise conflict with the in-body
+    # constraint, parallel.mesh.place_replicated); data stays as the caller
+    # sharded it (run_lib shards it over the data axis).
+    rng, params = place_replicated(mesh, rng, params)
+    return likelihood_fn(rng, params, data)
+  return placed_likelihood_fn

@@ -85,6 +85,26 @@ def batch_constraint(mesh) -> Callable:
   return lambda x: jax.lax.with_sharding_constraint(x, sharding)
 
 
+def place_replicated(mesh, *args):
+  """device_put each arg (pytrees ok, None passed through) replicated on
+  the mesh; identity when ``mesh`` is None.
+
+  The constraint-based mesh paths (ode/heun/dpmpp/likelihood) use a bare
+  ``jit`` + in-body sharding constraint, and jit then requires EVERY
+  argument to live on the constraint's device set: an input committed to a
+  single device — e.g. params restored by Orbax in ``run_lib.evaluate`` —
+  fails with "Received incompatible devices" (device ids [0] vs the mesh).
+  The PC sampler avoids this with explicit replicated ``in_shardings``
+  (which can't express the others' optional arguments); this gives the
+  constraint-based paths the same tolerance. No copy when an arg is
+  already placed correctly.
+  """
+  if mesh is None:
+    return args
+  rep = replicated(mesh)
+  return tuple(None if a is None else jax.device_put(a, rep) for a in args)
+
+
 def shard_batch(batch, mesh: Mesh):
   """Place a host numpy batch onto the mesh, sharded along the batch dim."""
   return jax.device_put(batch, data_sharding(mesh))

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from score_sde_pytorch_tpu import ode as ode_lib
 from score_sde_pytorch_tpu import sde as sde_lib
-from score_sde_pytorch_tpu.parallel.mesh import batch_constraint
+from score_sde_pytorch_tpu.parallel.mesh import (batch_constraint,
+                                                 place_replicated)
 from score_sde_pytorch_tpu.models import utils as mutils
 from score_sde_pytorch_tpu.sde import batch_mul
 
@@ -325,7 +326,13 @@ def get_ode_sampler(sde, model_def, shape, inverse_scaler,
       nfe = nfe + 1
     return inverse_scaler(x), nfe
 
-  return ode_sampler
+  if mesh is None:
+    return ode_sampler
+
+  def placed_ode_sampler(rng, params, z: Optional[Array] = None):
+    rng, params, z = place_replicated(mesh, rng, params, z)
+    return ode_sampler(rng, params, z)
+  return placed_ode_sampler
 
 
 def get_heun_sampler(sde, model_def, shape, inverse_scaler,
@@ -373,7 +380,12 @@ def get_heun_sampler(sde, model_def, shape, inverse_scaler,
       nfe += 1
     return inverse_scaler(x), nfe
 
-  return heun_sampler
+  if mesh is None:
+    return heun_sampler
+
+  def placed_heun_sampler(rng, params):
+    return heun_sampler(*place_replicated(mesh, rng, params))
+  return placed_heun_sampler
 
 
 def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
@@ -457,7 +469,12 @@ def get_dpmpp_sampler(sde, model_def, shape, inverse_scaler,
       nfe += 1
     return inverse_scaler(x), nfe
 
-  return dpmpp_sampler
+  if mesh is None:
+    return dpmpp_sampler
+
+  def placed_dpmpp_sampler(rng, params):
+    return dpmpp_sampler(*place_replicated(mesh, rng, params))
+  return placed_dpmpp_sampler
 
 
 def get_sampling_fn(config, sde, model_def, shape, inverse_scaler,

@@ -106,6 +106,49 @@ def test_dryrun_multichip_entrypoint():
   g.dryrun_multichip(4)
 
 
+def test_mesh_samplers_accept_committed_inputs():
+  """Regression: the constraint-based mesh paths (dpmpp/heun/ode/
+  likelihood) must accept inputs committed to a single device — exactly
+  what run_lib.evaluate passes after an Orbax checkpoint restore. Before
+  parallel.place_replicated they failed with 'Received incompatible
+  devices' (device ids [0] vs the mesh); the PC sampler was immune via
+  explicit in_shardings."""
+  from score_sde_pytorch_tpu import likelihood, sampling
+  from score_sde_pytorch_tpu.models import utils as mutils
+  import score_sde_pytorch_tpu.models  # noqa: F401
+  from tests.test_models import tiny_config
+
+  cfg = tiny_config()
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=50.0, N=4)
+  model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(0))
+  mesh = parallel.create_mesh()
+  shape = (8, 16, 16, 3)
+  params_c = jax.device_put(variables["params"], jax.devices()[0])
+  rng_c = jax.device_put(jax.random.PRNGKey(3), jax.devices()[0])
+
+  fns = {
+      "dpmpp": sampling.get_dpmpp_sampler(
+          sde, model_def, shape, lambda x: x, n_steps=2, denoise=True,
+          continuous=True, eps=1e-5, stochastic=True, mesh=mesh),
+      "heun": sampling.get_heun_sampler(
+          sde, model_def, shape, lambda x: x, n_steps=2, denoise=True,
+          continuous=True, eps=1e-5, mesh=mesh),
+      "ode": sampling.get_ode_sampler(
+          sde, model_def, shape, lambda x: x, denoise=False, rtol=1e-3,
+          atol=1e-3, eps=1e-2, mesh=mesh),
+  }
+  for tag, fn in fns.items():
+    samples, _ = fn(rng_c, params_c)
+    assert samples.shape == shape, tag
+
+  lk = likelihood.get_likelihood_fn(sde, model_def, lambda x: x,
+                                    rtol=1e-3, atol=1e-3, mesh=mesh)
+  data = parallel.shard_batch(
+      np.random.default_rng(0).normal(size=shape).astype(np.float32), mesh)
+  bpd, _, _ = lk(rng_c, params_c, data)
+  assert np.asarray(bpd).shape == (8,)
+
+
 def test_sharded_pc_sampling():
   """Mesh-sharded sample generation: batch axis sharded over 8 devices."""
   import jax.numpy as jnp

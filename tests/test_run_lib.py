@@ -161,6 +161,10 @@ def test_evaluate_sampling_stage_with_fake_inception(tmp_path, monkeypatch):
   cfg.training.n_iters = 5
   cfg.training.snapshot_freq = 4
   cfg.training.snapshot_sampling = False
+  # Sample with the stochastic fast sampler — covers the dpmpp_stochastic
+  # config path e2e (PC is covered by the train snapshot pipeline test).
+  cfg.sampling.update({"method": "dpmpp", "dpmpp_steps": 4,
+                       "dpmpp_stochastic": True})
   cfg.eval.update({"enable_loss": False, "enable_bpd": False,
                    "enable_sampling": True, "num_samples": 8,
                    "begin_ckpt": 1, "end_ckpt": 1})
