@@ -121,8 +121,15 @@ def train(config, workdir: str) -> None:
     sampling_shape = (config.training.batch_size // jax.process_count(),
                       config.data.image_size, config.data.image_size,
                       config.data.num_channels)
+    # Snapshot sampling shards over the training mesh on single-host runs
+    # (a full PC chain on one chip would idle the rest); multi-host keeps
+    # it host-0-local — a global-mesh jit entered only by host 0 would
+    # deadlock the collective.
+    sample_mesh = (mesh if jax.process_count() == 1
+                   and sampling_shape[0] % n_data == 0 else None)
     sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
-                                           sampling_shape, inverse_scaler)
+                                           sampling_shape, inverse_scaler,
+                                           mesh=sample_mesh)
 
   num_train_steps = config.training.n_iters
   logging.info("Starting training loop at step %d.", initial_step)
