@@ -593,6 +593,62 @@ def test_sde_dpmpp_first_step_closed_form():
                              rtol=1e-5, atol=1e-6)
 
 
+def test_sde_dpmpp_two_steps_closed_form():
+  """Two SDE-DPM-Solver++ steps by hand: pins the 2nd-order multistep
+  coefficient (1 + 1/2r)·x0_i − x0_{i−1}/2r INSIDE the stochastic update
+  (the 12-step moment test would tolerate a mildly wrong D)."""
+  import flax.linen as nn
+
+  class AnalyticVEModule(nn.Module):
+
+    @nn.compact
+    def __call__(self, x, labels, train=False):
+      self.param("unused", nn.initializers.zeros, (1,))
+      sig = labels.reshape((-1,) + (1,) * (x.ndim - 1))
+      return -x / (1.0 + sig ** 2)
+
+  sde = sde_lib.VESDE(sigma_min=0.01, sigma_max=10.0, N=200)
+  shape = (4, 2, 2, 1)
+  model_def = AnalyticVEModule()
+  variables = model_def.init(jax.random.PRNGKey(0),
+                             jnp.zeros(shape), jnp.zeros((shape[0],)))
+  fn = sampling.get_dpmpp_sampler(sde, model_def, shape, lambda x: x,
+                                  n_steps=2, denoise=False,
+                                  continuous=True, eps=0.3, stochastic=True)
+  samples, _ = fn(jax.random.PRNGKey(7), variables["params"])
+
+  # Hand-computed replica with the sampler's exact rng stream.
+  rng, prior_rng = jax.random.split(jax.random.PRNGKey(7))
+  step_rngs = jax.random.split(rng, 2)
+  x = sde.prior_sampling(prior_rng, shape)
+  ts = jnp.linspace(sde.T, 0.3, 3)
+  sig = [sde.marginal_prob(jnp.zeros(shape),
+                           jnp.full((shape[0],), t))[1][0] for t in ts]
+  lam = [-jnp.log(s) for s in sig]
+
+  def x0_pred(x, i):
+    return x / (1.0 + sig[i] ** 2)
+
+  # step 1 (1st order)
+  h1 = lam[1] - lam[0]
+  x0_0 = x0_pred(x, 0)
+  x1 = (sig[1] / sig[0]) * jnp.exp(-h1) * x \
+      - jnp.expm1(-2 * h1) * x0_0 \
+      + sig[1] * jnp.sqrt(-jnp.expm1(-2 * h1)) \
+      * jax.random.normal(step_rngs[0], shape)
+  # step 2 (2nd-order multistep)
+  h2 = lam[2] - lam[1]
+  r = h1 / h2
+  x0_1 = x0_pred(x1, 1)
+  D = (1.0 + 1.0 / (2.0 * r)) * x0_1 - x0_0 / (2.0 * r)
+  x2 = (sig[2] / sig[1]) * jnp.exp(-h2) * x1 \
+      - jnp.expm1(-2 * h2) * D \
+      + sig[2] * jnp.sqrt(-jnp.expm1(-2 * h2)) \
+      * jax.random.normal(step_rngs[1], shape)
+  np.testing.assert_allclose(np.asarray(samples), np.asarray(x2),
+                             rtol=1e-5, atol=1e-6)
+
+
 def test_get_sampling_fn_dispatch_sde_dpmpp():
   """config.sampling.dpmpp_stochastic routes to the SDE variant (and the
   two variants genuinely differ on the same rng)."""
