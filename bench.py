@@ -68,6 +68,71 @@ def _median_ms(fn, args_fn, rounds):
   return float(np.median(ts))
 
 
+def _flops_of(compiled):
+  """FLOPs from XLA cost_analysis (the scanned BODY = one step), 0.0 if
+  the backend doesn't report them."""
+  try:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost.get("flops", 0.0))
+  except Exception:
+    return 0.0
+
+
+def timed_train_scan_ms(config, batch, n_steps, rounds, with_flops=False):
+  """Median wall ms of ONE jitted n-step train-scan call (fresh state, one
+  warmup call, donated state buffers). Returns (median_ms, flops).
+
+  This is THE marginal-cost timing harness — shared by bench_model_zoo and
+  tools/{remat_policy_bench,flash_e2e,mfu_experiments} so method fixes
+  (like the round-3 device-time MFU correction) land once, not in four
+  drifting copies.
+  """
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from score_sde_pytorch_tpu import losses, sde as sde_lib
+
+  size = config.data.image_size
+  sde = sde_lib.build_sde(config)
+  optimizer = losses.get_optimizer(config)
+  model_def, state = losses.init_train_state(config, jax.random.PRNGKey(0))
+  fn = jax.jit(
+      losses.get_n_step_fn(
+          sde, model_def, train=True, optimizer=optimizer, n_steps=n_steps,
+          reduce_mean=config.training.get("reduce_mean", False),
+          continuous=config.training.continuous,
+          prng_impl=config.training.get("prng_impl")),
+      donate_argnums=0)
+  batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
+  flops = _flops_of(fn.lower(state, batches).compile()) if with_flops else 0.0
+  state, _ = fn(state, batches)
+  _force(state.step)
+  ts = []
+  for _ in range(rounds):
+    batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
+    t0 = time.time()
+    state, _ = fn(state, batches)
+    _force(state.step)
+    ts.append((time.time() - t0) * 1e3)
+  return float(np.median(ts)), flops
+
+
+def marginal_train_step_ms(config, batch, n_lo, n_hi, rounds,
+                           with_flops=False):
+  """Per-step marginal cost between n_lo- and n_hi-step executables —
+  equals the profiler's device time on relayed backends (the j1 wall
+  includes ~40-60 ms of tunnel dispatch). Returns (ms, flops_per_step)."""
+  t_lo, f_lo = timed_train_scan_ms(config, batch, n_lo, rounds, with_flops)
+  t_hi, f_hi = timed_train_scan_ms(config, batch, n_hi, rounds, with_flops)
+  per_step = (t_hi - t_lo) / (n_hi - n_lo)
+  # cost_analysis reports the scanned BODY (one step) — measured identical
+  # for n=2 and n=12 executables; fall back to the marginal if they differ.
+  flops = f_hi if f_hi == f_lo else (f_hi - f_lo) / (n_hi - n_lo)
+  return per_step, flops
+
+
 def bench_train(config, on_accelerator):
   """Measured train-step times + MFU. Returns (extra_dict)."""
   import jax
@@ -97,14 +162,7 @@ def bench_train(config, on_accelerator):
           donate_argnums=0)
       batches = jnp.zeros((n_jitted, batch, size, size, 3), jnp.float32)
       if dtype == "bfloat16" and n_jitted == 1:
-        try:
-          compiled = n_step.lower(state, batches).compile()
-          cost = compiled.cost_analysis()
-          if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-          mfu_flops = float(cost.get("flops", 0.0))
-        except Exception:
-          mfu_flops = 0.0
+        mfu_flops = _flops_of(n_step.lower(state, batches).compile())
       state, _ = n_step(state, batches)        # compile + warmup
       _force(state.step)
       rounds = 5 if n_jitted == 1 else 3
@@ -216,7 +274,6 @@ def bench_model_zoo(on_accelerator):
   and ncsnv2_64 (ve/ncsnv2/cifar10, InstanceNorm++ hot path, SMLD loss +
   ald sampling). Marginal-cost timed; bf16 on TPU."""
   import jax
-  import jax.numpy as jnp
   from score_sde_pytorch_tpu import losses, sampling, sde as sde_lib
   from score_sde_pytorch_tpu.configs.vp.ddpm.cifar10 import (
       get_config as ddpm_config)
@@ -233,34 +290,9 @@ def bench_model_zoo(on_accelerator):
       config.model.nf = 16
       config.model.num_scales = 10
     size = config.data.image_size
-    sde = sde_lib.build_sde(config)
-    optimizer = losses.get_optimizer(config)
 
-    def timed(n_steps, config=config, sde=sde, optimizer=optimizer,
-              size=size):
-      import numpy as np
-      model_def, state = losses.init_train_state(config,
-                                                 jax.random.PRNGKey(0))
-      fn = jax.jit(
-          losses.get_n_step_fn(
-              sde, model_def, train=True, optimizer=optimizer,
-              n_steps=n_steps, reduce_mean=config.training.reduce_mean,
-              continuous=config.training.continuous,
-              prng_impl=config.training.get("prng_impl")),
-          donate_argnums=0)
-      batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
-      state, _ = fn(state, batches)
-      _force(state.step)
-      ts = []
-      for _ in range(3 if on_accelerator else 1):
-        batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
-        t0 = time.time()
-        state, _ = fn(state, batches)
-        _force(state.step)
-        ts.append((time.time() - t0) * 1e3)
-      return float(np.median(ts))
-
-    per_step = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+    per_step, _ = marginal_train_step_ms(
+        config, batch, n_lo, n_hi, rounds=3 if on_accelerator else 1)
     dt_tag = "bf16" if on_accelerator else "fp32"
     out[f"{tag}_train_step_ms_{dt_tag}"] = round(per_step, 2)
     out[f"{tag}_train_imgs_per_sec_per_chip"] = round(

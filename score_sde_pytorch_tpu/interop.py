@@ -230,9 +230,12 @@ def ddpm_param_map(config) -> List[Tuple[str, str, str]]:
     else:
       # Reference modules own Dense_0 params even when conditional=False
       # (ddpm.py:57 passes temb_dim unconditionally) but never use them;
-      # our flax module creates the layer lazily, so consume-and-drop.
-      rows.append((f"{base}.Dense_0.weight", None, "drop"))
-      rows.append((f"{base}.Dense_0.bias", None, "drop"))
+      # our flax module creates the layer lazily, so consume-and-drop. The
+      # third slot carries the torch shape — nn.Linear(4nf, out_ch) keeps
+      # weight (out_ch, 4nf)/bias (out_ch,) — so the export direction can
+      # emit correctly-shaped zeros for every block.
+      rows.append((f"{base}.Dense_0.weight", None, (out_ch, nf * 4)))
+      rows.append((f"{base}.Dense_0.bias", None, (out_ch,)))
     _groupnorm(f"{base}.GroupNorm_1", f"{name}/GroupNorm_1", rows)
     _conv(f"{base}.Conv_1", f"{name}/Conv_1", rows)
     if in_ch != out_ch:
@@ -479,40 +482,78 @@ def _lookup(tree: Dict, path: str) -> np.ndarray:
   return np.asarray(node)
 
 
-def flax_params_to_torch_state_dict(params: Dict, config) -> Dict[str, np.ndarray]:
+def flax_params_to_torch_state_dict(params: Dict, config,
+                                    module_prefix: bool = False
+                                    ) -> Dict[str, np.ndarray]:
   """Inverse of :func:`torch_state_dict_to_flax`: export a flax params tree
   (e.g. the trained EMA params) as a reference-layout state_dict of numpy
-  arrays, so reference users can round-trip checkpoints in BOTH directions
-  (torch.save({'model': {k: torch.from_numpy(v) ...}}) gives a .pth the
-  reference's utils.py:7-19 restore consumes; reference params the map
+  arrays, in the reference model's parameter-registration order.
+
+  With ``module_prefix=True`` keys carry the ``module.`` prefix the
+  reference's ``torch.nn.DataParallel`` wrapper expects (reference
+  models/utils.py:93) — required when loading through the reference's own
+  ``utils.restore_checkpoint``; use :func:`export_torch_checkpoint` for a
+  complete .pth that restore consumes directly. Without the prefix the
+  dict loads into a bare (unwrapped) reference model via
+  ``model.load_state_dict(sd, strict=False)`` (strict=False only because
+  the ``sigmas`` buffer is not exported). Reference params the import map
   drops — e.g. DDPM's unused unconditional Dense_0 — are emitted as
-  zeros)."""
-  shapes = _dropped_param_shapes(config)
+  correctly-shaped zeros (the drop rows carry their torch shape)."""
+  prefix = "module." if module_prefix else ""
   out: Dict[str, np.ndarray] = {}
   for torch_key, flax_path, kind in _param_rows(config):
     if flax_path is None:
-      out[torch_key] = np.zeros(shapes[torch_key], np.float32)
+      # kind carries the torch shape for consume-and-drop rows.
+      out[prefix + torch_key] = np.zeros(kind, np.float32)
       continue
-    out[torch_key] = _inverse_transform(_lookup(params, flax_path), kind)
+    out[prefix + torch_key] = _inverse_transform(_lookup(params, flax_path),
+                                                 kind)
   return out
 
 
-def _dropped_param_shapes(config) -> Dict[str, Tuple[int, ...]]:
-  """Shapes for consume-and-drop rows (reference-only unused params):
-  currently only DDPM's unconditional Dense_0 (temb projection of width
-  4·nf, reference ddpm.py:57 creates it even when conditional=False)."""
-  nf = config.model.nf
-  shapes: Dict[str, Tuple[int, ...]] = {}
-  for torch_key, flax_path, _ in _param_rows(config):
-    if flax_path is not None:
-      continue
-    if torch_key.endswith("Dense_0.weight"):
-      shapes[torch_key] = (nf * 4, nf * 4)
-    elif torch_key.endswith("Dense_0.bias"):
-      shapes[torch_key] = (nf * 4,)
-    else:
-      raise NotImplementedError(f"no shape rule for dropped {torch_key}")
-  return shapes
+def export_torch_checkpoint(params: Dict, config, path: str,
+                            step: int = 0) -> None:
+  """Write a COMPLETE reference-consumable .pth checkpoint (requires torch).
+
+  The reference's ``utils.restore_checkpoint`` (reference utils.py:7-19)
+  indexes ``loaded['optimizer']/['model']/['ema']/['step']`` and loads the
+  model dict into a DataParallel wrapper — a bare params export satisfies
+  none of that. This emits all four:
+
+  - ``model``: ``module.``-prefixed state_dict (DataParallel layout).
+  - ``ema``: the reference ``ExponentialMovingAverage`` schema
+    (reference models/ema.py:91-98) — ``decay`` from
+    ``config.model.ema_rate``, ``num_updates=step``, ``shadow_params`` in
+    the reference model's ``parameters()`` order (the param-map rows replay
+    registration order; pinned against the live reference model in
+    tests/test_interop.py).
+  - ``optimizer``: a fresh torch Adam state_dict over the same params with
+    the reference hyperparameters (reference losses.py get_optimizer), so
+    ``optimizer.load_state_dict`` succeeds and training resumes with
+    reset moments.
+  - ``step``.
+  """
+  import torch
+  sd = flax_params_to_torch_state_dict(params, config, module_prefix=True)
+  ordered = [torch.from_numpy(np.ascontiguousarray(v)) for v in sd.values()]
+  optim_cfg = config.get("optim", None)
+  tensors = [torch.nn.Parameter(t.clone()) for t in ordered]
+  opt = torch.optim.Adam(
+      tensors,
+      lr=optim_cfg.lr if optim_cfg else 2e-4,
+      betas=((optim_cfg.beta1 if optim_cfg else 0.9), 0.999),
+      eps=optim_cfg.eps if optim_cfg else 1e-8,
+      weight_decay=optim_cfg.weight_decay if optim_cfg else 0)
+  ckpt = {
+      "model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()},
+      "ema": {"decay": float(config.model.ema_rate),
+              "num_updates": int(step),
+              "shadow_params": [t.clone() for t in ordered]},
+      "optimizer": opt.state_dict(),
+      "step": int(step),
+  }
+  torch.save(ckpt, path)
 
 
 def load_torch_checkpoint(path: str, config) -> Dict:

@@ -94,7 +94,11 @@ def get_likelihood_fn(sde: sde_lib.SDE, model_def, inverse_scaler,
     bpd = bpd + offset
     # Non-convergent integration must not produce a finite-looking wrong
     # bpd (scipy raises there; reference likelihood.py:94-99) — flag as NaN.
-    bpd = jnp.where(status == ode_lib.STATUS_OK, bpd, jnp.nan)
+    # The latent z is from the same unfinished trajectory: NaN it too, so
+    # encoding users can't consume a plausible-looking wrong latent.
+    ok = status == ode_lib.STATUS_OK
+    bpd = jnp.where(ok, bpd, jnp.nan)
+    z = jnp.where(ok, z, jnp.nan)
     return bpd, z, nfe
 
   if mesh is None:

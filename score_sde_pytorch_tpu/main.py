@@ -28,6 +28,11 @@ flags.DEFINE_bool("multihost", False,
 flags.DEFINE_string("platform", "",
                     "Force a JAX platform (e.g. 'cpu'). Overrides any "
                     "site-level jax_platforms setting.")
+flags.DEFINE_string("compilation_cache_dir", "",
+                    "Persist XLA executables here (jax compilation cache): "
+                    "the 20-40s+ first-jit cost of the big train/sampler "
+                    "scans is paid once per (program, config), not per run. "
+                    "Shared across train/eval and across restarts.")
 flags.mark_flags_as_required(["workdir", "config", "mode"])
 
 
@@ -35,6 +40,14 @@ def main(argv):
   if FLAGS.platform:
     import jax
     jax.config.update("jax_platforms", FLAGS.platform)
+  if FLAGS.compilation_cache_dir:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      FLAGS.compilation_cache_dir)
+    # Cache every compile, however small/fast (defaults skip sub-second
+    # compiles, which covers the tiny eval helpers around the main scans).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
   if FLAGS.multihost:
     import jax
     jax.distributed.initialize()

@@ -105,6 +105,30 @@ def place_replicated(mesh, *args):
   return tuple(None if a is None else jax.device_put(a, rep) for a in args)
 
 
+def to_local(*args):
+  """Pull replicated global-mesh arrays down to host-local arrays.
+
+  A jit entered by ONE process over inputs committed to a multi-host mesh
+  is a global computation entered by one participant — a collective
+  deadlock (or "non-addressable devices" error). For a REPLICATED array
+  every addressable shard already holds the full value, so the local copy
+  (``addressable_data(0)``) costs no cross-host traffic. Non-replicated
+  global arrays (per-shard shape != global shape) are rejected rather than
+  silently truncated. Pytrees ok; non-Array leaves pass through.
+  """
+  def pull(x):
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+      shard = x.addressable_data(0)
+      if shard.shape != x.shape:
+        raise ValueError(
+            f"to_local needs a replicated array; got per-shard shape "
+            f"{shard.shape} != global {x.shape}.")
+      return shard
+    return x
+  out = tuple(jax.tree.map(pull, a) for a in args)
+  return out[0] if len(out) == 1 else out
+
+
 def shard_batch(batch, mesh: Mesh):
   """Place a host numpy batch onto the mesh, sharded along the batch dim."""
   return jax.device_put(batch, data_sharding(mesh))

@@ -210,7 +210,14 @@ def train(config, workdir: str) -> None:
       if config.training.snapshot_sampling and is_host0:
         rng, sample_rng = jax.random.split(rng)
         sample_rng = losses.as_prng_impl(sample_rng, prng_impl)
-        samples, _ = sampling_fn(sample_rng, state.ema.params)
+        ema_params = state.ema.params
+        if jax.process_count() > 1:
+          # state lives on the global multi-host mesh; a host-0-only jit
+          # over globally-committed params would be a one-participant
+          # global computation (collective deadlock). Params are
+          # replicated, so the host-local pull is traffic-free.
+          ema_params = parallel.to_local(ema_params)
+        samples, _ = sampling_fn(sample_rng, ema_params)
         this_dir = os.path.join(sample_dir, f"iter_{step}")
         io_utils.makedirs(this_dir)
         samples_np = np.asarray(samples)

@@ -43,3 +43,38 @@ def test_cli_train_tiny(tmp_path, mode):
   assert "training_loss" in log
   assert os.path.exists(os.path.join(workdir, "checkpoints-meta",
                                      "checkpoint"))
+
+
+def test_cli_compilation_cache_flag(tmp_path):
+  """--compilation_cache_dir persists XLA executables across runs: the
+  cache dir must be non-empty after a tiny train (on the axon relay a
+  first jit costs minutes — this flag pays it once per program)."""
+  workdir = str(tmp_path / "wd")
+  cache = str(tmp_path / "xla_cache")
+  cmd = [
+      sys.executable, "-m", "score_sde_pytorch_tpu.main",
+      "--config",
+      "score_sde_pytorch_tpu/configs/vp/cifar10_ddpmpp_continuous.py",
+      "--workdir", workdir,
+      "--mode", "train",
+      "--platform", "cpu",
+      "--compilation_cache_dir", cache,
+      "--config.training.n_iters=1",
+      "--config.training.batch_size=4",
+      "--config.training.snapshot_freq=2",
+      "--config.training.snapshot_freq_for_preemption=2",
+      "--config.training.eval_freq=10",
+      "--config.training.log_freq=1",
+      "--config.training.snapshot_sampling=False",
+      "--config.model.nf=8",
+      "--config.model.ch_mult=(1,2)",
+      "--config.model.num_res_blocks=1",
+      "--config.model.attn_resolutions=(8,)",
+      "--config.model.num_scales=8",
+      "--config.data.image_size=16",
+  ]
+  result = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+                          cwd="/root/repo", env=dict(os.environ))
+  assert result.returncode == 0, result.stderr[-3000:]
+  assert os.path.isdir(cache) and os.listdir(cache), (
+      "compilation cache dir is empty — executables were not persisted")

@@ -112,8 +112,11 @@ def test_likelihood_nonconvergence_yields_nan_bpd():
   fn = likelihood_lib.get_likelihood_fn(sde, model_def, lambda x: x,
                                         rtol=1e-6, atol=1e-8, max_steps=3)
   data = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
-  bpd, _, _ = fn(jax.random.PRNGKey(2), variables["params"], data)
+  bpd, z, _ = fn(jax.random.PRNGKey(2), variables["params"], data)
   assert np.all(np.isnan(np.asarray(bpd)))
+  # The latent rides the same unfinished trajectory — it must be flagged
+  # too, or encoding users silently consume a plausible wrong z.
+  assert np.all(np.isnan(np.asarray(z)))
 
 
 def test_bpd_offset_centered_vs_not():

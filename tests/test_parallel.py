@@ -304,3 +304,20 @@ def test_sharded_dpmpp_sampler_matches_single_device():
   x8, _ = sharded(jax.random.PRNGKey(6), variables["params"])
   np.testing.assert_allclose(np.asarray(x1), np.asarray(x8),
                              rtol=1e-4, atol=1e-5)
+
+
+def test_to_local_identity_and_tree():
+  """to_local: identity for fully-addressable arrays (the single-process
+  case — multi-host arrays are not constructible here), pytrees and
+  non-array leaves pass through, multiple args come back as a tuple."""
+  import jax.numpy as jnp
+  from score_sde_pytorch_tpu import parallel
+
+  mesh = parallel.create_mesh()
+  x = jax.device_put(jnp.ones((8, 4)), parallel.replicated(mesh))
+  tree = {"a": x, "b": 3}
+  out = parallel.to_local(tree)
+  assert out["b"] == 3
+  np.testing.assert_array_equal(np.asarray(out["a"]), np.ones((8, 4)))
+  a, b = parallel.to_local(x, None)
+  assert b is None

@@ -15,53 +15,20 @@ to the first is the cost of the extra attention capability itself.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 
 N_LO, N_HI = 1, 4
 BATCH = 8
 
 
-def _force(x):
-  import jax
-  return np.asarray(jax.tree_util.tree_leaves(x)[0])
-
-
 def measure(config):
-  import jax
-  import jax.numpy as jnp
-  from score_sde_pytorch_tpu import losses, sde as sde_lib
+  from bench import marginal_train_step_ms  # the one shared timing harness
 
   config.model.dtype = "bfloat16"
-  size = config.data.image_size
-  sde = sde_lib.build_sde(config)
-  optimizer = losses.get_optimizer(config)
-
-  def timed(n_steps, rounds=4):
-    model_def, state = losses.init_train_state(config, jax.random.PRNGKey(0))
-    fn = jax.jit(
-        losses.get_n_step_fn(sde, model_def, train=True, optimizer=optimizer,
-                             n_steps=n_steps,
-                             continuous=config.training.continuous,
-                             prng_impl=config.training.get("prng_impl")),
-        donate_argnums=0)
-    batches = jnp.zeros((n_steps, BATCH, size, size, 3), jnp.float32)
-    state, _ = fn(state, batches)
-    _force(state.step)
-    ts = []
-    for _ in range(rounds):
-      batches = jnp.zeros((n_steps, BATCH, size, size, 3), jnp.float32)
-      t0 = time.time()
-      state, _ = fn(state, batches)
-      _force(state.step)
-      ts.append((time.time() - t0) * 1e3)
-    return float(np.median(ts))
-
-  t_lo, t_hi = timed(N_LO), timed(N_HI)
-  return round((t_hi - t_lo) / (N_HI - N_LO), 1)
+  per_step, _ = marginal_train_step_ms(config, BATCH, N_LO, N_HI, rounds=4)
+  return round(per_step, 1)
 
 
 def main():

@@ -24,11 +24,9 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 
 N_LO, N_HI = 2, 12
 
@@ -57,82 +55,34 @@ FLAG_CASES = {
 }
 
 
-def _force(x):
-  import jax
-  return np.asarray(jax.tree_util.tree_leaves(x)[0])
-
-
-def _flops_of(compiled):
-  try:
-    cost = compiled.cost_analysis()
-    if isinstance(cost, (list, tuple)):
-      cost = cost[0]
-    return float(cost.get("flops", 0.0))
-  except Exception:
-    return 0.0
-
-
 def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5):
   import jax
-  import jax.numpy as jnp
   import score_sde_pytorch_tpu.models  # noqa: F401
-  from score_sde_pytorch_tpu import losses, sde as sde_lib
   from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
       get_config)
-  from bench import _peak_flops
+  from bench import _peak_flops, marginal_train_step_ms
 
   config = get_config()
   config.model.dtype = dtype
-  size = config.data.image_size
-  sde = sde_lib.build_sde(config)
-  optimizer = losses.get_optimizer(config)
 
   import contextlib
   prec_ctx = (jax.default_matmul_precision(matmul_precision)
               if matmul_precision else contextlib.nullcontext())
-
-  stats = {}
   with prec_ctx:
-    for n_steps in (N_LO, N_HI):
-      model_def, state = losses.init_train_state(config,
-                                                 jax.random.PRNGKey(0))
-      fn = jax.jit(
-          losses.get_n_step_fn(sde, model_def, train=True,
-                               optimizer=optimizer, n_steps=n_steps,
-                               reduce_mean=config.training.reduce_mean,
-                               continuous=config.training.continuous,
-                               likelihood_weighting=False,
-                               prng_impl=config.training.get("prng_impl")),
-          donate_argnums=0)
-      batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
-      compiled = fn.lower(state, batches).compile()
-      flops = _flops_of(compiled)
-      state, _ = fn(state, batches)
-      _force(state.step)
-      ts = []
-      for _ in range(rounds):
-        batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
-        t0 = time.time()
-        state, _ = fn(state, batches)
-        _force(state.step)
-        ts.append((time.time() - t0) * 1e3)
-      stats[n_steps] = (float(np.median(ts)), flops)
+    per_step_ms, per_step_flops = marginal_train_step_ms(
+        config, batch, N_LO, N_HI, rounds, with_flops=True)
 
-  (t_lo, fl_lo), (t_hi, fl_hi) = stats[N_LO], stats[N_HI]
-  per_step_ms = (t_hi - t_lo) / (N_HI - N_LO)
-  # XLA cost_analysis reports the flops of the scanned BODY (one step) —
-  # measured identical for n=2 and n=12 executables — so fl_hi IS the
-  # per-step figure; fall back to the marginal if they ever differ.
-  per_step_flops = (fl_hi if fl_hi == fl_lo
-                    else (fl_hi - fl_lo) / (N_HI - N_LO))
-  import jax
   peak, kind = _peak_flops(jax.devices()[0])
-  mfu = (per_step_flops / (per_step_ms / 1e3) / peak
-         if per_step_flops > 0 and per_step_ms > 0 else None)
+  # cost_analysis flops cover the whole program while `peak` is per-chip:
+  # normalize per chip (same as bench.py) so numbers stay comparable with
+  # the headline mfu_bf16_train on multi-chip hosts.
+  per_chip_flops = per_step_flops / jax.device_count()
+  mfu = (per_chip_flops / (per_step_ms / 1e3) / peak
+         if per_chip_flops > 0 and per_step_ms > 0 else None)
   return {"per_step_ms": round(per_step_ms, 2),
           "imgs_per_s": round(batch / (per_step_ms / 1e3), 1),
           "mfu": round(mfu, 4) if mfu else None,
-          "flops_lo_hi": [fl_lo, fl_hi],
+          "flops_per_step": per_step_flops,
           "peak_kind": kind}
 
 
