@@ -140,10 +140,13 @@ def _iter_tfrecords(data_dir: str, resolution: int):
   """
   import tensorflow as tf
   tf.config.set_visible_devices([], "GPU")
-  files = sorted(
-      os.path.join(r, f)
-      for r, _, fs in os.walk(data_dir)
-      for f in fs if f.endswith((".tfrecords", ".tfrecord")))
+  if os.path.isfile(data_dir):  # a single-file tfrecords_path (reference)
+    files = [data_dir]
+  else:
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir)
+        for f in fs if f.endswith((".tfrecords", ".tfrecord")))
   if not files:
     raise FileNotFoundError(f"No tfrecords under {data_dir}")
 
@@ -257,7 +260,11 @@ def load_raw_dataset(config, split: str):
   full-set shuffling).
   """
   name = config.data.dataset.upper()
-  data_dir = config.data.get("data_dir", "")
+  # data.tfrecords_path is the reference's key for FFHQ/CelebAHQ records
+  # (reference datasets.py:142); honored as a data_dir fallback so reference
+  # configs work unchanged.
+  data_dir = (config.data.get("data_dir", "")
+              or config.data.get("tfrecords_path", ""))
   size = config.data.image_size
   in_memory = config.data.get("in_memory", False)
   if not data_dir:

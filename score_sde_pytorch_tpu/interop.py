@@ -24,6 +24,16 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 
+# Reference params registered with requires_grad=False. The reference
+# ExponentialMovingAverage filters shadow_params to trainable params only
+# (reference models/ema.py:29,49,61), so the export direction must exclude
+# these rows or every shadow param after them misaligns by one on
+# ema.copy_to(model.parameters()). The only such param in the whole reference
+# zoo is GaussianFourierProjection.W (reference models/layerspp.py:37), used
+# by every NCSN++ config with embedding_type='fourier'.
+_NON_TRAINABLE_FLAX_PATHS = frozenset({"FourierProj/W"})
+
+
 def _conv(prefix_t, prefix_f, out):
   out.append((f"{prefix_t}.weight", f"{prefix_f}/kernel", "conv"))
   out.append((f"{prefix_t}.bias", f"{prefix_f}/bias", "copy"))
@@ -309,10 +319,12 @@ def _v2_resblock(t, f, out, *, resample, dilation, has_shortcut,
   """NCSNv2 ResidualBlock rows (reference layers.py:453-507). Torch names
   are attributes (normalize1/conv1/...); ConvMeanPool nests its conv as
   ``.conv`` (``.conv.1`` behind the ZeroPad2d Sequential when
-  adjust_padding, reference layers.py:355-363)."""
-  _in2plus(f"{t}.normalize1", f"{f}/Norm_0", out)
-  _in2plus(f"{t}.normalize2", f"{f}/Norm_1", out)
+  adjust_padding, reference layers.py:355-363). Row order follows the
+  reference's REGISTRATION order — conv1, normalize2, conv2, shortcut,
+  normalize1 last (layers.py:462-492) — which the export direction's
+  parameters()-order EMA contract depends on."""
   _conv(f"{t}.conv1", f"{f}/Conv_0", out)
+  _in2plus(f"{t}.normalize2", f"{f}/Norm_1", out)
   if resample == "down" and dilation == 1:
     seq = ".1" if adjust_padding else ""
     _conv(f"{t}.conv2.conv{seq}", f"{f}/Conv_1/Conv_0", out)
@@ -321,6 +333,7 @@ def _v2_resblock(t, f, out, *, resample, dilation, has_shortcut,
     _conv(f"{t}.conv2", f"{f}/Conv_1", out)
     if resample == "down" or has_shortcut:
       _conv(f"{t}.shortcut", f"{f}/Shortcut", out)
+  _in2plus(f"{t}.normalize1", f"{f}/Norm_0", out)
 
 
 def _rcu_rows(t, f, out, n_blocks, n_stages=2):
@@ -495,12 +508,19 @@ def flax_params_to_torch_state_dict(params: Dict, config,
   ``utils.restore_checkpoint``; use :func:`export_torch_checkpoint` for a
   complete .pth that restore consumes directly. Without the prefix the
   dict loads into a bare (unwrapped) reference model via
-  ``model.load_state_dict(sd, strict=False)`` (strict=False only because
-  the ``sigmas`` buffer is not exported). Reference params the import map
-  drops — e.g. DDPM's unused unconditional Dense_0 — are emitted as
-  correctly-shaped zeros (the drop rows carry their torch shape)."""
+  ``model.load_state_dict(sd)`` — strict=True works: the ``sigmas`` buffer
+  all three reference families register in ``__init__`` before any module
+  (reference ncsnpp.py:42, ddpm.py:44, ncsnv2.py:52) is emitted first,
+  recomputed from config exactly as the reference does
+  (``torch.tensor(get_sigmas(config))`` → float64). Reference params the
+  import map drops — e.g. DDPM's unused unconditional Dense_0 — are
+  emitted as correctly-shaped zeros (the drop rows carry their torch
+  shape)."""
   prefix = "module." if module_prefix else ""
   out: Dict[str, np.ndarray] = {}
+  out[prefix + "sigmas"] = np.exp(np.linspace(
+      np.log(config.model.sigma_max), np.log(config.model.sigma_min),
+      config.model.num_scales))  # float64, matching torch.tensor(ndarray)
   for torch_key, flax_path, kind in _param_rows(config):
     if flax_path is None:
       # kind carries the torch shape for consume-and-drop rows.
@@ -520,24 +540,33 @@ def export_torch_checkpoint(params: Dict, config, path: str,
   model dict into a DataParallel wrapper — a bare params export satisfies
   none of that. This emits all four:
 
-  - ``model``: ``module.``-prefixed state_dict (DataParallel layout).
+  - ``model``: ``module.``-prefixed state_dict (DataParallel layout),
+    including the ``module.sigmas`` buffer — the exported dict matches the
+    reference's own save_checkpoint schema key-for-key (strict=True loads).
   - ``ema``: the reference ``ExponentialMovingAverage`` schema
     (reference models/ema.py:91-98) — ``decay`` from
-    ``config.model.ema_rate``, ``num_updates=step``, ``shadow_params`` in
-    the reference model's ``parameters()`` order (the param-map rows replay
-    registration order; pinned against the live reference model in
+    ``config.model.ema_rate``, ``num_updates=step``, ``shadow_params``
+    matching ``[p for p in model.parameters() if p.requires_grad]`` in
+    order (reference models/ema.py:29) — i.e. registration order MINUS the
+    non-trainable GaussianFourierProjection.W of fourier-embedding NCSN++
+    models (pinned against the live reference model in
     tests/test_interop.py).
-  - ``optimizer``: a fresh torch Adam state_dict over the same params with
-    the reference hyperparameters (reference losses.py get_optimizer), so
-    ``optimizer.load_state_dict`` succeeds and training resumes with
-    reset moments.
+  - ``optimizer``: a fresh torch Adam state_dict over ``model.parameters()``
+    (ALL params, trainable or not — reference run_lib passes
+    ``model.parameters()`` straight to losses.get_optimizer) with the
+    reference hyperparameters, so ``optimizer.load_state_dict`` succeeds
+    and training resumes with reset moments.
   - ``step``.
   """
   import torch
   sd = flax_params_to_torch_state_dict(params, config, module_prefix=True)
-  ordered = [torch.from_numpy(np.ascontiguousarray(v)) for v in sd.values()]
+  param_keys = ["module." + tk for tk, _, _ in _param_rows(config)]
+  shadow_keys = ["module." + tk for tk, fp, _ in _param_rows(config)
+                 if fp not in _NON_TRAINABLE_FLAX_PATHS]
+  all_params = [torch.from_numpy(np.ascontiguousarray(sd[k]).copy())
+                for k in param_keys]
   optim_cfg = config.get("optim", None)
-  tensors = [torch.nn.Parameter(t.clone()) for t in ordered]
+  tensors = [torch.nn.Parameter(t.clone()) for t in all_params]
   opt = torch.optim.Adam(
       tensors,
       lr=optim_cfg.lr if optim_cfg else 2e-4,
@@ -545,11 +574,13 @@ def export_torch_checkpoint(params: Dict, config, path: str,
       eps=optim_cfg.eps if optim_cfg else 1e-8,
       weight_decay=optim_cfg.weight_decay if optim_cfg else 0)
   ckpt = {
-      "model": {k: torch.from_numpy(np.ascontiguousarray(v))
+      "model": {k: torch.from_numpy(np.ascontiguousarray(v).copy())
                 for k, v in sd.items()},
       "ema": {"decay": float(config.model.ema_rate),
               "num_updates": int(step),
-              "shadow_params": [t.clone() for t in ordered]},
+              "shadow_params": [
+                  torch.from_numpy(np.ascontiguousarray(sd[k]).copy())
+                  for k in shadow_keys]},
       "optimizer": opt.state_dict(),
       "step": int(step),
   }

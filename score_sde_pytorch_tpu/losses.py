@@ -50,7 +50,15 @@ def get_optimizer(config) -> optax.GradientTransformation:
   chain = []
   if config.optim.grad_clip >= 0:
     chain.append(optax.clip_by_global_norm(config.optim.grad_clip))
-  if config.optim.get("weight_decay", 0):
+  if config.optim.get("amsgrad", False):
+    # The reference configs carry optim.amsgrad but its get_optimizer never
+    # passes it to torch Adam (reference losses.py:26-35) — a latent bug we
+    # fix by actually honoring the flag. All shipped leaves set False.
+    if config.optim.get("weight_decay", 0):
+      raise NotImplementedError("amsgrad with weight_decay not supported")
+    chain.append(optax.amsgrad(lr_schedule, b1=config.optim.beta1, b2=0.999,
+                               eps=config.optim.eps))
+  elif config.optim.get("weight_decay", 0):
     chain.append(optax.adamw(lr_schedule, b1=config.optim.beta1, b2=0.999,
                              eps=config.optim.eps,
                              weight_decay=config.optim.weight_decay))

@@ -95,8 +95,13 @@ def get_model_fn(model_def, params, train: bool = False) -> Callable:
   def model_fn(x: Array, labels: Array, rng: Optional[Array] = None) -> Array:
     variables = {"params": params} if "params" not in params else params
     if train:
-      rngs = {"dropout": rng if rng is not None else jax.random.PRNGKey(0)}
-      return model_def.apply(variables, x, labels, train=True, rngs=rngs)
+      if rng is None:
+        raise ValueError(
+            "get_model_fn(train=True) requires an explicit dropout rng; "
+            "silently reusing a fixed key would make every call's dropout "
+            "mask identical.")
+      return model_def.apply(variables, x, labels, train=True,
+                             rngs={"dropout": rng})
     return model_def.apply(variables, x, labels, train=False)
 
   return model_fn

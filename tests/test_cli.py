@@ -73,8 +73,16 @@ def test_cli_compilation_cache_flag(tmp_path):
       "--config.model.num_scales=8",
       "--config.data.image_size=16",
   ]
+  # Pin the subprocess to ONE cpu device: conftest exports
+  # --xla_force_host_platform_device_count=8 into os.environ, which the child
+  # would inherit and then (correctly) reject batch_size=4 as not divisible
+  # by 8 (run_lib device-count check).
+  env = dict(os.environ)
+  env["XLA_FLAGS"] = " ".join(
+      f for f in env.get("XLA_FLAGS", "").split()
+      if "xla_force_host_platform_device_count" not in f)
   result = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
-                          cwd="/root/repo", env=dict(os.environ))
+                          cwd="/root/repo", env=env)
   assert result.returncode == 0, result.stderr[-3000:]
   assert os.path.isdir(cache) and os.listdir(cache), (
       "compilation cache dir is empty — executables were not persisted")

@@ -80,3 +80,86 @@ def test_config_leaf_loads_and_is_consistent(rel):
   assert config.data.image_size in (28, 32, 64, 128, 256, 1024), rel
   assert 0.0 <= config.model.ema_rate < 1.0  # NCSNv1 leaves use 0. (no EMA)
   assert config.optim.lr > 0
+
+
+# ---------------------------------------------------------------------------
+# Value parity vs the live reference configs (VERDICT r3 #3): every
+# hyperparameter leaf shared with the reference must be value-equal. Catches
+# silent transcription drift in tools/gen_configs.py that file-tree and
+# structural checks cannot (a single nf=128→64 typo would pass both).
+# ---------------------------------------------------------------------------
+
+# Reference keys we deliberately do not port: the torch device handle.
+_REF_ONLY_OK = {"device"}
+
+# Shared keys whose values intentionally differ, per leaf (or '*' = every
+# leaf), each with its documented reason. Everything else must be EQUAL.
+_ALLOWED_DIFFS = {
+    # The reference hardcodes the author's personal machine paths
+    # ('/home/yangsong/...', '/atlas/u/...'); ours defaults to '' and the
+    # user points it (or data.data_dir) at their local tfrecords.
+    "*": {"data.tfrecords_path"},
+    # reference ve/ncsnv2/bedroom.py:28 typos `continuouse` — the intended
+    # continuous=False never lands and the reference trains this discrete
+    # SMLD leaf with the continuous loss. We port the typo key for schema
+    # parity but keep the plainly-intended value (latent reference bug).
+    "ve/ncsnv2/bedroom.py": {"training.continuous"},
+}
+
+
+def _flatten_cfg(d, prefix=""):
+  out = {}
+  for k, v in d.items():
+    path = f"{prefix}.{k}" if prefix else k
+    if isinstance(v, dict):
+      out.update(_flatten_cfg(v, path))
+    else:
+      out[path] = tuple(v) if isinstance(v, (list, tuple)) else v
+  return out
+
+
+def _load_reference_config(rel):
+  import sys
+  pytest.importorskip("torch")
+  if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+  module = importlib.import_module(
+      "configs." + rel[:-3].replace(os.sep, "."))
+  return module.get_config()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROOT),
+                    reason="reference configs unavailable")
+@pytest.mark.parametrize("rel", sorted(_tree(CFG_ROOT, include_tpu=False)))
+def test_config_value_parity_vs_reference(rel):
+  if os.path.basename(rel).startswith("default_"):
+    ours = importlib.import_module(
+        "score_sde_pytorch_tpu.configs."
+        + rel[:-3].replace(os.sep, ".")).get_default_configs()
+    import sys
+    pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+      sys.path.insert(0, "/root/reference")
+    ref = importlib.import_module(
+        "configs." + rel[:-3].replace(os.sep, ".")).get_default_configs()
+  else:
+    ours = importlib.import_module(
+        "score_sde_pytorch_tpu.configs."
+        + rel[:-3].replace(os.sep, ".")).get_config()
+    ref = _load_reference_config(rel)
+
+  ref_flat = _flatten_cfg(ref.to_dict())
+  our_flat = _flatten_cfg(ours.to_dict())
+
+  ref_only = set(ref_flat) - set(our_flat)
+  assert ref_only <= _REF_ONLY_OK, (
+      f"{rel}: reference keys we neither port nor document: "
+      f"{sorted(ref_only - _REF_ONLY_OK)}")
+
+  allowed = _ALLOWED_DIFFS.get("*", set()) | _ALLOWED_DIFFS.get(rel, set())
+  diffs = {
+      k: (ref_flat[k], our_flat[k])
+      for k in set(ref_flat) & set(our_flat)
+      if k not in allowed and ref_flat[k] != our_flat[k]
+  }
+  assert not diffs, f"{rel}: value drift vs reference: {diffs}"

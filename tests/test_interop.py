@@ -374,18 +374,17 @@ def test_ncsnpp_flash_grid_parity_vs_reference():
   _assert_forward_parity(cfg, tmodel, [4.3, 25.0])
 
 
-def test_export_torch_checkpoint_reference_restore(tmp_path):
-  """export_torch_checkpoint produces a .pth the reference's own restore
-  path consumes (reference utils.py:14-19 semantics, emulated here because
-  utils.py imports tensorflow): optimizer/model/ema/step all load, the
-  DataParallel-prefixed model keys ALL match (no silent zero-key
-  strict=False load), EMA shadow_params follow parameters() order, and the
-  restored reference model reproduces the flax forward pass."""
-  torch = pytest.importorskip("torch")
-  ref_ddpm = _import_reference("models.ddpm")
+def _export_restore_check(cfg, tmodel, t_values, tmp_path, long_labels=False):
+  """Core of the export-restore contract, shared across model families:
+  emulate the reference's own restore (reference utils.py:14-19 — emulated
+  because utils.py imports tensorflow): optimizer/model/ema/step all load,
+  the DataParallel-prefixed model dict strict=True-loads (sigmas buffer
+  included), EMA shadow_params match ``[p for p in parameters() if
+  p.requires_grad]`` in length AND order (reference models/ema.py:29 — the
+  fourier GaussianFourierProjection.W is requires_grad=False and must be
+  absent), and the restored reference model reproduces the flax forward."""
+  import torch
   ref_ema = _import_reference("models.ema")
-  cfg = tiny_config(name="ddpm", embedding_type="positional",
-                    scale_by_sigma=False, conditional=True, nf=32)
   model_def, variables = mutils.create_model(cfg, jax.random.PRNGKey(7))
   params = jax.tree.map(np.asarray, variables["params"])
 
@@ -394,17 +393,21 @@ def test_export_torch_checkpoint_reference_restore(tmp_path):
   loaded = torch.load(path, map_location="cpu", weights_only=False)
   assert loaded["step"] == 1234
 
-  tmodel = torch.nn.DataParallel(ref_ddpm.DDPM(cfg).eval())
+  tmodel = torch.nn.DataParallel(tmodel.eval())
   # The param-map rows replay the reference's registration order — the
   # contract shadow_params relies on. Pin it against the live model.
   ref_order = ["module." + k for k, _ in tmodel.module.named_parameters()]
   assert [k for k in loaded["model"] if not k.endswith("sigmas")] == ref_order
+  # Exported sigmas must equal the reference's own config-derived buffer.
+  np.testing.assert_allclose(loaded["model"]["module.sigmas"].numpy(),
+                             tmodel.module.sigmas.numpy(), rtol=1e-6)
 
   opt = torch.optim.Adam(tmodel.parameters(), lr=2e-4)
   opt.load_state_dict(loaded["optimizer"])  # reference utils.py:15
-  missing, unexpected = tmodel.load_state_dict(loaded["model"], strict=False)
-  assert unexpected == []
-  assert missing == ["module.sigmas"]  # buffer, rebuilt from config
+  missing, unexpected = tmodel.load_state_dict(loaded["model"], strict=True)
+  assert missing == [] and unexpected == []
+  n_trainable = sum(1 for p in tmodel.parameters() if p.requires_grad)
+  assert len(loaded["ema"]["shadow_params"]) == n_trainable
   ema = ref_ema.ExponentialMovingAverage(tmodel.parameters(),
                                          decay=cfg.model.ema_rate)
   ema.load_state_dict(loaded["ema"])  # reference utils.py:17
@@ -414,13 +417,48 @@ def test_export_torch_checkpoint_reference_restore(tmp_path):
   rng = np.random.default_rng(3)
   size = cfg.data.image_size
   x = (rng.normal(size=(2, size, size, 3)).astype(np.float32) * 0.3 + 0.5)
-  t = np.asarray([0.0, 50.0], np.float32)
+  t = np.asarray(t_values, np.int64 if long_labels else np.float32)
   with torch.no_grad():
     tout = tmodel.module(torch.from_numpy(np.ascontiguousarray(
         x.transpose(0, 3, 1, 2))), torch.from_numpy(t))
   tout = tout.numpy().transpose(0, 2, 3, 1)
-  jout = np.asarray(model_def.apply({"params": params}, x, t, train=False))
+  jout = np.asarray(model_def.apply({"params": params}, x,
+                                    t.astype(np.float32), train=False))
   np.testing.assert_allclose(jout, tout, atol=1e-4, rtol=1e-3)
+
+
+def test_export_torch_checkpoint_reference_restore(tmp_path):
+  """DDPM (no non-trainable params): the original export-restore contract."""
+  pytest.importorskip("torch")
+  ref_ddpm = _import_reference("models.ddpm")
+  cfg = tiny_config(name="ddpm", embedding_type="positional",
+                    scale_by_sigma=False, conditional=True, nf=32)
+  _export_restore_check(cfg, ref_ddpm.DDPM(cfg), [0.0, 50.0], tmp_path)
+
+
+def test_export_ncsnpp_fourier_reference_restore(tmp_path):
+  """NCSN++ with embedding_type='fourier' (the flagship VE configs):
+  GaussianFourierProjection.W is requires_grad=False, so the reference EMA
+  keeps one FEWER shadow param than parameters() — an export that includes
+  it misaligns every subsequent param on ema.copy_to (ADVICE r3 high)."""
+  torch = pytest.importorskip("torch")
+  ref_ncsnpp = _import_reference("models.ncsnpp")
+  cfg = tiny_config()  # fourier embedding default
+  tmodel = ref_ncsnpp.NCSNpp(cfg)
+  n_all = sum(1 for _ in tmodel.parameters())
+  n_trainable = sum(1 for p in tmodel.parameters() if p.requires_grad)
+  assert n_all == n_trainable + 1  # exactly the fourier W
+  _export_restore_check(cfg, tmodel, [4.3, 25.0], tmp_path)
+
+
+def test_export_ncsnv2_reference_restore(tmp_path):
+  """NCSNv2 (RefineNet family, discrete sigma-index labels) export-restore
+  through the reference's own EMA/restore protocol (ADVICE r3 low)."""
+  pytest.importorskip("torch")
+  cfg = _ncsnv2_cfg("ncsnv2_64", 16)
+  with _patched_reference_ncsnv2() as ref:
+    tmodel = ref.NCSNv2(cfg)
+  _export_restore_check(cfg, tmodel, [0, 5], tmp_path, long_labels=True)
 
 
 def test_export_unconditional_ddpm_drop_shapes():

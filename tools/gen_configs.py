@@ -22,8 +22,11 @@ NCSN_M = dict(name="'ncsn'", scale_by_sigma=False,
               normalization="'InstanceNorm++'", nonlinearity="'elu'",
               nf=128, interpolation="'bilinear'")
 
+# amsgrad is carried for schema parity with the reference configs; the
+# reference itself never reads it (reference losses.py:26-35 passes only
+# lr/betas/eps/weight_decay to torch Adam) — ours honors amsgrad=True.
 NCSN_OPT = dict(weight_decay=0, optimizer="'Adam'", lr="1e-3", beta1=0.9,
-                eps="1e-8", warmup=0, grad_clip="-1.")
+                amsgrad=False, eps="1e-8", warmup=0, grad_clip="-1.")
 NCSNV2_OPT = dict(NCSN_OPT, lr="1e-4")
 
 
@@ -116,14 +119,14 @@ add("ve/celebahq_256_ncsnpp_continuous.py", "lsun",
     "configs/ve/celebahq_256_ncsnpp_continuous.py",
     training=dict(sde="'vesde'", continuous=True),
     sampling=PC_RD_L,
-    data=dict(dataset="'CelebAHQ'", image_size=256),
+    data=dict(dataset="'CelebAHQ'", image_size=256, tfrecords_path="''"),
     model=m(VE_LSUN_NCSNPP, sigma_max=348))
 
 add("ve/ffhq_256_ncsnpp_continuous.py", "lsun",
     "configs/ve/ffhq_256_ncsnpp_continuous.py",
     training=dict(sde="'vesde'", continuous=True),
     sampling=PC_RD_L,
-    data=dict(dataset="'FFHQ'", image_size=256),
+    data=dict(dataset="'FFHQ'", image_size=256, tfrecords_path="''"),
     model=m(VE_LSUN_NCSNPP, sigma_max=348))
 
 VE_1024 = m(NCSNPP, scale_by_sigma=True, sigma_max=1348, num_scales=2000,
@@ -139,8 +142,8 @@ add("ve/celebahq_ncsnpp_continuous.py", "lsun",
                   reduce_mean=False),
     sampling=m(PC_RD_L, snr=0.15),
     eval=dict(batch_size=1024, begin_ckpt=1, end_ckpt=96),
-    data=dict(dataset="'CelebAHQ'", image_size=1024),
-    model=VE_1024)
+    data=dict(dataset="'CelebAHQ'", image_size=1024, tfrecords_path="''"),
+    model=VE_1024, optim=dict(amsgrad=False))
 
 add("ve/ffhq_ncsnpp_continuous.py", "lsun",
     "configs/ve/ffhq_ncsnpp_continuous.py",
@@ -148,8 +151,8 @@ add("ve/ffhq_ncsnpp_continuous.py", "lsun",
                   reduce_mean=True),
     sampling=m(PC_RD_L, snr=0.15),
     eval=dict(batch_size=1024, begin_ckpt=1, end_ckpt=96),
-    data=dict(dataset="'FFHQ'", image_size=1024),
-    model=VE_1024)
+    data=dict(dataset="'FFHQ'", image_size=1024, tfrecords_path="''"),
+    model=VE_1024, optim=dict(amsgrad=False))
 
 # --- VE legacy NCSN / NCSNv2 ----------------------------------------------
 
@@ -157,8 +160,12 @@ for ds, base in (("cifar10", "cifar10"), ("celeba", "celeba")):
   snr5, snr124 = (("0.316", "0.176") if ds == "cifar10"
                   else ("0.316", "0.128"))
   scales124 = 232 if ds == "cifar10" else 500
+  # reference ve/ncsn/celeba.py:26 carries a dead `training.loss` key
+  # (read nowhere); ported verbatim for schema parity.
   add(f"ve/ncsn/{ds}.py", base, f"configs/ve/ncsn/{ds}.py",
-      training=dict(sde="'vesde'", continuous=False),
+      training=(dict(sde="'vesde'", loss="'vesde'", continuous=False)
+                if ds == "celeba" else
+                dict(sde="'vesde'", continuous=False)),
       sampling=dict(method="'pc'", predictor="'none'", corrector="'ald'",
                     n_steps_each=100, snr=snr5),
       model=m(NCSN_M, sigma_max=1, num_scales=10, ema_rate="0."),
@@ -200,8 +207,15 @@ add("ve/ncsnv2/celeba.py", "celeba", "configs/ve/ncsnv2/celeba.py",
                nonlinearity="'elu'", nf=128, interpolation="'bilinear'"),
     optim=NCSNV2_OPT)
 
+# reference ve/ncsnv2/bedroom.py:28 sets `training.continuouse` — a typo'd
+# dead key (the real `continuous` stays at the lsun base's True, and the
+# discrete-SMLD branch is selected by continuous=False... which the typo
+# MISSES: the reference trains this leaf with the continuous loss). We port
+# the typo key for schema parity but keep continuous=False — the value the
+# leaf plainly intended and the one matching the ncsnv2 paper protocol.
 add("ve/ncsnv2/bedroom.py", "lsun", "configs/ve/ncsnv2/bedroom.py",
-    training=dict(sde="'vesde'", continuous=False, batch_size=128),
+    training=dict(sde="'vesde'", continuous=False, continuouse=False,
+                  batch_size=128),
     sampling=dict(method="'pc'", predictor="'none'", corrector="'ald'",
                   n_steps_each=3, snr=0.095),
     data=dict(category="'bedroom'", image_size=128),
@@ -289,7 +303,8 @@ add("vp/ddpm/church.py", "lsun", "configs/vp/ddpm/church.py",
 add("vp/ddpm/celebahq.py", "lsun", "configs/vp/ddpm/celebahq.py",
     training=dict(sde="'vpsde'", continuous=False, reduce_mean=True),
     sampling=PC_AS,
-    data=dict(dataset="'CelebAHQ'", centered=True, image_size=256),
+    data=dict(dataset="'CelebAHQ'", centered=True, image_size=256,
+              tfrecords_path="''"),
     model=VP_DDPM_BIG, optim=dict(lr="2e-5"))
 
 # --- subVP -----------------------------------------------------------------
