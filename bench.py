@@ -324,6 +324,32 @@ def bench_model_zoo(on_accelerator):
   return out
 
 
+def bench_highres(on_accelerator):
+  """256px row (VERDICT r3 #8): the shipped church-256 TPU leaf
+  (configs/tpu/church_256_ncsnpp_tpu.py — bf16, remat, measured batch 32)
+  timed with the same marginal-cost method as the flagship."""
+  import jax
+  from score_sde_pytorch_tpu.configs.tpu.church_256_ncsnpp_tpu import (
+      get_config)
+  config = get_config()
+  batch = config.training.batch_size if on_accelerator else 2
+  if not on_accelerator:
+    config.model.update({"nf": 8, "num_res_blocks": 1, "ch_mult": (1, 2),
+                         "attn_resolutions": (8,), "dtype": "float32",
+                         "remat": False})
+    config.data.image_size = 64
+  n_lo, n_hi = (1, 3) if on_accelerator else (1, 2)
+  per_step, _ = marginal_train_step_ms(
+      config, batch, n_lo, n_hi, rounds=3 if on_accelerator else 1)
+  tag = "bf16" if on_accelerator else "fp32"
+  return {
+      f"church256_train_step_ms_{tag}": round(per_step, 2),
+      "church256_train_imgs_per_sec_per_chip": round(
+          batch / (per_step / 1e3) / jax.device_count(), 2),
+      "church256_batch": batch,
+  }
+
+
 def _devices_or_die(timeout_s: float = 300.0):
   """Backend init with a deadline.
 
@@ -392,6 +418,11 @@ def main():
         bench_dpmpp(fresh_config(), on_accelerator), 2)
   except Exception as e:
     extra["dpmpp_error"] = repr(e)[:200]
+
+  try:
+    extra.update(bench_highres(on_accelerator))
+  except Exception as e:
+    extra["highres_error"] = repr(e)[:200]
 
   samples_per_sec_per_chip, s_batch, s_rounds = bench_sampling(
       fresh_config(), on_accelerator)

