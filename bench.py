@@ -34,9 +34,14 @@ BASELINE_SAMPLES_PER_SEC_PER_CHIP = 128.0 / (2000 * 0.56 / 3) / 4  # ~0.0857
 BASELINE_TRAIN_IMGS_PER_SEC_PER_CHIP = 128.0 / 0.56 / 4            # 57.14
 
 # bf16 peak FLOP/s per chip by device kind (public spec sheets).
+# NOTE v5e ("v5 lite"): 197 TFLOP/s bf16 — the oft-quoted 394 is the INT8
+# TOPS figure. Rounds 2-3 used 394 here, understating every reported MFU
+# by exactly 2x (r3's "31.5% MFU / convs at 40-50% MXU" is really 63% /
+# 80-100% — consistent with every buy-back experiment failing to move it:
+# the convs were already near the bf16 roof).
 _PEAK_BF16 = {
     "v6e": 918e12, "v6": 918e12,
-    "v5e": 394e12, "v5lite": 394e12, "v5p": 459e12,
+    "v5e": 197e12, "v5lite": 197e12, "v5p": 459e12,
     "v4": 275e12, "v3": 123e12, "v2": 45e12,
 }
 
@@ -46,7 +51,7 @@ def _peak_flops(device):
   for key, peak in _PEAK_BF16.items():
     if key in kind:
       return peak, key
-  return 394e12, "assumed-v5e"
+  return 197e12, "assumed-v5e"
 
 
 def _force(x):
@@ -80,7 +85,8 @@ def _flops_of(compiled):
     return 0.0
 
 
-def timed_train_scan_ms(config, batch, n_steps, rounds, with_flops=False):
+def timed_train_scan_ms(config, batch, n_steps, rounds, with_flops=False,
+                        compiler_options=None):
   """Median wall ms of ONE jitted n-step train-scan call (fresh state, one
   warmup call, donated state buffers). Returns (median_ms, flops).
 
@@ -88,6 +94,12 @@ def timed_train_scan_ms(config, batch, n_steps, rounds, with_flops=False):
   tools/{remat_policy_bench,flash_e2e,mfu_experiments} so method fixes
   (like the round-3 device-time MFU correction) land once, not in four
   drifting copies.
+
+  compiler_options: dict of XLA option-name -> string value passed to
+  ``lowered.compile(compiler_options=...)``. On relayed TPU backends this
+  is the ONLY way to sweep TPU compiler flags — client-side XLA_FLAGS with
+  TPU-only names fatals in parse_flags_from_env (the client binary is CPU
+  XLA), while compiler_options travel with the computation to the server.
   """
   import jax
   import jax.numpy as jnp
@@ -106,26 +118,31 @@ def timed_train_scan_ms(config, batch, n_steps, rounds, with_flops=False):
           prng_impl=config.training.get("prng_impl")),
       donate_argnums=0)
   batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
-  flops = _flops_of(fn.lower(state, batches).compile()) if with_flops else 0.0
-  state, _ = fn(state, batches)
+  lowered = fn.lower(state, batches)
+  compiled = (lowered.compile(compiler_options=compiler_options)
+              if compiler_options else lowered.compile())
+  flops = _flops_of(compiled) if with_flops else 0.0
+  state, _ = compiled(state, batches)
   _force(state.step)
   ts = []
   for _ in range(rounds):
     batches = jnp.zeros((n_steps, batch, size, size, 3), jnp.float32)
     t0 = time.time()
-    state, _ = fn(state, batches)
+    state, _ = compiled(state, batches)
     _force(state.step)
     ts.append((time.time() - t0) * 1e3)
   return float(np.median(ts)), flops
 
 
 def marginal_train_step_ms(config, batch, n_lo, n_hi, rounds,
-                           with_flops=False):
+                           with_flops=False, compiler_options=None):
   """Per-step marginal cost between n_lo- and n_hi-step executables —
   equals the profiler's device time on relayed backends (the j1 wall
   includes ~40-60 ms of tunnel dispatch). Returns (ms, flops_per_step)."""
-  t_lo, f_lo = timed_train_scan_ms(config, batch, n_lo, rounds, with_flops)
-  t_hi, f_hi = timed_train_scan_ms(config, batch, n_hi, rounds, with_flops)
+  t_lo, f_lo = timed_train_scan_ms(config, batch, n_lo, rounds, with_flops,
+                                   compiler_options)
+  t_hi, f_hi = timed_train_scan_ms(config, batch, n_hi, rounds, with_flops,
+                                   compiler_options)
   per_step = (t_hi - t_lo) / (n_hi - n_lo)
   # cost_analysis reports the scanned BODY (one step) — measured identical
   # for n=2 and n=12 executables; fall back to the marginal if they differ.

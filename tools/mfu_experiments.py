@@ -10,8 +10,12 @@ method ((t12-t2)/10 of an n-step scan — removes the ~50 ms axon dispatch):
   (b) conv/matmul precision matrix: bf16 model (baseline) vs fp32 model
       under jax.default_matmul_precision in {bfloat16, tensorfloat32,
       float32} (fp32 convs on TPU decompose into 1/3/6 bf16 MXU passes).
-  (c) XLA TPU flag sweep (each in a fresh subprocess so XLA_FLAGS applies):
-      latency-hiding scheduler, scoped-vmem budget for fusions.
+  (c) XLA TPU compiler-option sweep: latency-hiding scheduler, scoped-vmem
+      budget for fusions. Client-side XLA_FLAGS with TPU-only names fatals
+      in parse_flags_from_env on relayed backends (the client binary is CPU
+      XLA — r3's blocked experiment); these now travel server-side via
+      ``lowered.compile(compiler_options=...)``, which works through the
+      relay.
 
 Per-case output: one JSON line {case, per_step_ms, imgs_per_s, mfu}.
 MFU uses marginal FLOPs ((flops12-flops2)/10 from XLA cost analysis) over
@@ -46,16 +50,16 @@ CASES = {
                          matmul_precision="float32"),
 }
 
-# (c): flag cases — subprocess with XLA_FLAGS, each runs the b128 case.
-FLAG_CASES = {
-    "lhs_on": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
-    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem_128m": "--xla_tpu_scoped_vmem_limit_kib=131072",
+# (c): compiler-option cases — server-side options on the b128 executable.
+OPTION_CASES = {
+    "opt_lhs_on": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "opt_vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "opt_vmem_128m": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
 }
 
 
-def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5):
+def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5,
+             compiler_options=None):
   import jax
   import score_sde_pytorch_tpu.models  # noqa: F401
   from score_sde_pytorch_tpu.configs.ve.cifar10_ncsnpp_continuous import (
@@ -70,7 +74,8 @@ def run_case(batch=128, dtype="bfloat16", matmul_precision=None, rounds=5):
               if matmul_precision else contextlib.nullcontext())
   with prec_ctx:
     per_step_ms, per_step_flops = marginal_train_step_ms(
-        config, batch, N_LO, N_HI, rounds, with_flops=True)
+        config, batch, N_LO, N_HI, rounds, with_flops=True,
+        compiler_options=compiler_options)
 
   peak, kind = _peak_flops(jax.devices()[0])
   # cost_analysis flops cover the whole program while `peak` is per-chip:
@@ -93,7 +98,11 @@ RESULTS_PATH = os.path.join(os.path.dirname(__file__), "..",
 def main():
   if len(sys.argv) > 1 and sys.argv[1] != "all":
     case = sys.argv[1]
-    out = run_case(**CASES[case])
+    if case in OPTION_CASES:
+      out = run_case(batch=128, dtype="bfloat16",
+                     compiler_options=OPTION_CASES[case])
+    else:
+      out = run_case(**CASES[case])
     print("CASE " + json.dumps({case: out}), flush=True)
     return
 
@@ -115,16 +124,12 @@ def main():
     proc = subprocess.run([sys.executable, __file__, case], env=env,
                           capture_output=True, text=True, timeout=3600)
     record(case, _parse(proc, case))
-  for tag, flags in FLAG_CASES.items():
+  for tag in OPTION_CASES:
     if tag in results and "error" not in str(results[tag]):
       continue
-    fenv = dict(env)
-    fenv["LIBTPU_INIT_ARGS"] = (
-        fenv.get("LIBTPU_INIT_ARGS", "") + " " + flags).strip()
-    fenv["XLA_FLAGS"] = (fenv.get("XLA_FLAGS", "") + " " + flags).strip()
-    proc = subprocess.run([sys.executable, __file__, "b128"], env=fenv,
+    proc = subprocess.run([sys.executable, __file__, tag], env=env,
                           capture_output=True, text=True, timeout=3600)
-    record(tag, _parse(proc, "b128"))
+    record(tag, _parse(proc, tag))
   print("FINAL " + json.dumps(results), flush=True)
 
 

@@ -97,7 +97,7 @@ def main():
       ("no_progressive", cfg(progressive="none", progressive_input="none")),
       ("fp32", get_config()),
   ]
-  peak = 394e12 if "v5" in getattr(
+  peak = 197e12 if "v5" in getattr(
       jax.devices()[0], "device_kind", "").lower() else None
   out = {}
   for tag, config in cases:
