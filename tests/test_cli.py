@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess CLI runs with fresh jit compiles
+
 
 @pytest.mark.parametrize("mode", ["train"])
 def test_cli_train_tiny(tmp_path, mode):

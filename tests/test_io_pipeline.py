@@ -11,6 +11,8 @@ import pytest
 
 from score_sde_pytorch_tpu.utils import io as io_utils
 
+pytestmark = pytest.mark.slow  # full train+eval pipelines: minutes of jit
+
 
 @pytest.fixture
 def myfs(tmp_path):

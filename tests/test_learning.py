@@ -28,6 +28,8 @@ import pytest
 
 from score_sde_pytorch_tpu import losses, sampling, sde as sde_lib
 from score_sde_pytorch_tpu.models import utils as mutils
+
+pytestmark = pytest.mark.slow  # trains networks to convergence: minutes
 import score_sde_pytorch_tpu.models  # noqa: F401
 
 from tests.test_models import tiny_config

@@ -8,6 +8,8 @@ import pytest
 from score_sde_pytorch_tpu import losses, parallel, sde as sde_lib
 from tests.test_losses import _setup
 
+pytestmark = pytest.mark.slow  # 8-device jit compiles of full train/sample steps
+
 
 def test_eight_virtual_devices():
   assert jax.device_count() == 8

@@ -8,6 +8,8 @@ import pytest
 
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # full train->resume->eval pipelines
+
 
 def _pipeline_config():
   import ml_collections
