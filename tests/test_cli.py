@@ -36,7 +36,7 @@ def test_cli_train_tiny(tmp_path, mode):
       "--config.data.image_size=16",
   ]
   env = dict(os.environ)
-  result = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+  result = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
                           cwd="/root/repo", env=env)
   assert result.returncode == 0, result.stderr[-3000:]
   # stdout.txt logging side-effect (reference main.py:40-49)
@@ -83,7 +83,7 @@ def test_cli_compilation_cache_flag(tmp_path):
   env["XLA_FLAGS"] = " ".join(
       f for f in env.get("XLA_FLAGS", "").split()
       if "xla_force_host_platform_device_count" not in f)
-  result = subprocess.run(cmd, capture_output=True, text=True, timeout=560,
+  result = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
                           cwd="/root/repo", env=env)
   assert result.returncode == 0, result.stderr[-3000:]
   assert os.path.isdir(cache) and os.listdir(cache), (

@@ -65,7 +65,7 @@ def _child_env() -> dict:
   return env
 
 
-def _run_pair(workdir: str, mode: str, extra, timeout: int = 900):
+def _run_pair(workdir: str, mode: str, extra, timeout: int = 1800):
   """Launch main.py twice as real jax.distributed processes; return both
   completed processes (asserts both exit 0)."""
   port = _free_port()
