@@ -201,9 +201,18 @@ def bench_train(config, on_accelerator):
       # 19.5% figure divided by the j1 wall time incl. dispatch; same
       # FLOPs, wrong denominator.
       t1 = out.get("train_step_ms_bf16_j1")
+      t5 = out.get("train_step_ms_bf16_j5")
       t10 = out.get("train_step_ms_bf16_j10")
-      if t1 and t10:
-        marginal = (t10 * 10 - t1) / 9
+      if t10 and (t5 or t1):
+        # Prefer the (j5, j10) pair: both amortize the dispatch over many
+        # steps, so one contended wall-clock sample can't skew the
+        # difference the way a bad j1 reading does (observed: a 240 ms j1
+        # under host load drove the j1-based marginal to 51 ms and MFU to
+        # a fictitious 0.78).
+        if t5:
+          marginal = (t10 * 10 - t5 * 5) / 5
+        else:
+          marginal = (t10 * 10 - t1) / 9
         out["train_step_ms_bf16_marginal"] = round(marginal, 2)
         peak, kind = _peak_flops(jax.devices()[0])
         mfu = mfu_flops / (marginal / 1e3) / peak / jax.device_count()
