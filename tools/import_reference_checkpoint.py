@@ -29,16 +29,23 @@ from absl import app, flags, logging
 from ml_collections.config_flags import config_flags
 
 FLAGS = flags.FLAGS
-config_flags.DEFINE_config_file("config", None, "Config file.")
-flags.DEFINE_string("checkpoint", None, "Reference .pth checkpoint path.")
-flags.DEFINE_string("workdir", None, "Target workdir.")
-flags.DEFINE_integer("number", -1,
-                     "Numbered-checkpoint slot (default: step//snapshot_freq"
-                     " from the checkpoint's own step).")
-flags.DEFINE_bool("also_meta", False,
-                  "Also write the rolling checkpoints-meta tier so "
-                  "--mode train resumes from the imported weights.")
-flags.mark_flags_as_required(["config", "checkpoint", "workdir"])
+
+
+def _define_flags():
+  """Deferred to script entry: absl flags are process-global, and this
+  module is also imported as a library (tests, notebooks) in processes
+  where score_sde_pytorch_tpu.main already owns --config/--workdir —
+  module-level definitions would raise DuplicateFlagError there."""
+  config_flags.DEFINE_config_file("config", None, "Config file.")
+  flags.DEFINE_string("checkpoint", None, "Reference .pth checkpoint path.")
+  flags.DEFINE_string("workdir", None, "Target workdir.")
+  flags.DEFINE_integer("number", -1,
+                       "Numbered-checkpoint slot (default: "
+                       "step//snapshot_freq from the checkpoint's own step).")
+  flags.DEFINE_bool("also_meta", False,
+                    "Also write the rolling checkpoints-meta tier so "
+                    "--mode train resumes from the imported weights.")
+  flags.mark_flags_as_required(["config", "checkpoint", "workdir"])
 
 
 def import_checkpoint(config, pth_path: str, workdir: str,
@@ -126,4 +133,5 @@ def main(argv):
 
 
 if __name__ == "__main__":
+  _define_flags()
   app.run(main)
