@@ -18,10 +18,20 @@ FLAGS = flags.FLAGS
 config_flags.DEFINE_config_file(
     "config", None, "Training configuration.", lock_config=True)
 flags.DEFINE_string("workdir", None, "Work directory.")
-flags.DEFINE_enum("mode", None, ["train", "eval"],
-                  "Running mode: train or eval")
+flags.DEFINE_enum("mode", None, ["train", "eval", "sample"],
+                  "Running mode: train, eval, or sample (standalone "
+                  "generation from a checkpoint — no dataset/Inception "
+                  "needed; the reference only exposes this via its demo "
+                  "notebook)")
 flags.DEFINE_string("eval_folder", "eval",
                     "The folder name for storing evaluation results")
+flags.DEFINE_string("sample_folder", "generated",
+                    "Folder name (under workdir) for --mode sample outputs")
+flags.DEFINE_integer("checkpoint", -1,
+                     "Numbered checkpoint for --mode sample; -1 = latest "
+                     "(falls back to the rolling meta checkpoint)")
+flags.DEFINE_integer("num_samples", 0,
+                     "Total images for --mode sample; 0 = one eval batch")
 flags.DEFINE_bool("multihost", False,
                   "Initialize jax.distributed (multi-host TPU pods; "
                   "coordinator discovered from the TPU environment unless "
@@ -93,6 +103,10 @@ def main(argv):
     run_lib.train(FLAGS.config, FLAGS.workdir)
   elif FLAGS.mode == "eval":
     run_lib.evaluate(FLAGS.config, FLAGS.workdir, FLAGS.eval_folder)
+  elif FLAGS.mode == "sample":
+    run_lib.sample(FLAGS.config, FLAGS.workdir, FLAGS.sample_folder,
+                   checkpoint=FLAGS.checkpoint,
+                   num_samples=FLAGS.num_samples)
   else:
     raise ValueError(f"Mode {FLAGS.mode} not recognized.")
 

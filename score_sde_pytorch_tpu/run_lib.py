@@ -437,3 +437,107 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
         io_utils.save_npz(
             os.path.join(eval_dir, f"report_{ckpt}.npz"), **scores)
         logging.info("ckpt %d: %s", ckpt, scores)
+
+
+def sample(config, workdir: str, sample_folder: str = "generated",
+           checkpoint: int = -1, num_samples: int = 0) -> None:
+  """Standalone generation from a trained checkpoint.
+
+  The reference exposes this workflow only through its demo notebook
+  (reference README.md "Usage" + Score_SDE_demo_PyTorch.ipynb: restore a
+  checkpoint, build sampling_fn, call it); running it through `--mode eval`
+  drags in the dataset, Inception weights, and stats files. This mode needs
+  only the checkpoint: restore EMA params, run the configured sampler
+  (config.sampling.method — pc/ode/heun/dpmpp/sde-dpmpp), and write a PNG
+  grid + uint8 npz per round under workdir/<sample_folder>/.
+
+  checkpoint: numbered snapshot to restore; -1 picks the latest, falling
+  back to the rolling meta checkpoint (sample mid-training).
+  num_samples: total images; 0 means one eval batch. Sampling is sharded
+  over the device mesh; with multiple processes every chip samples and
+  host 0 owns all file writes.
+  """
+  out_dir = os.path.join(workdir, sample_folder)
+  io_utils.makedirs(out_dir)
+
+  rng = jax.random.PRNGKey(config.seed + 2)
+  rng, init_rng = jax.random.split(rng)
+  model_def, state = losses.init_train_state(config, init_rng)
+  sde = sde_lib.build_sde(config)
+  inverse_scaler = datasets.get_data_inverse_scaler(config)
+  prng_impl = config.training.get("prng_impl", None)
+
+  is_host0 = jax.process_index() == 0
+  multihost = jax.process_count() > 1
+  mesh = parallel.create_mesh(config.mesh.get("data_axis", -1))
+  batch = config.eval.batch_size
+  if batch % mesh.shape["data"] != 0:
+    if multihost:
+      raise ValueError(
+          f"multi-host sampling requires eval.batch_size ({batch}) "
+          f"divisible by the global device count ({mesh.shape['data']}).")
+    logging.warning("eval.batch_size %d not divisible by %d devices — "
+                    "sampling runs single-device.", batch,
+                    mesh.shape["data"])
+    mesh = None
+  if mesh is not None:
+    state = jax.device_put(state, parallel.replicated(mesh))
+
+  ckpt_mgr = ckpt_lib.CheckpointManager(workdir)
+  if checkpoint < 0:
+    latest = ckpt_mgr.latest_numbered()
+    if latest is not None:
+      state = ckpt_mgr.restore_numbered(state, latest)
+      label = f"checkpoint_{latest}"
+    elif io_utils.exists(os.path.join(ckpt_mgr.meta_dir, "checkpoint")):
+      state = ckpt_mgr.restore_meta(state)
+      label = "checkpoints-meta"
+    else:
+      raise FileNotFoundError(
+          f"no checkpoint under {workdir} (checkpoints/ or checkpoints-meta/)"
+          " — train first, or point --workdir at a trained run / an "
+          "imported reference checkpoint (tools/import_reference_checkpoint"
+          ".py).")
+  else:
+    if not ckpt_mgr.has_numbered(checkpoint):
+      raise FileNotFoundError(f"checkpoint_{checkpoint} not found under "
+                              f"{ckpt_mgr.ckpt_dir}")
+    state = ckpt_mgr.restore_numbered(state, checkpoint)
+    label = f"checkpoint_{checkpoint}"
+  logging.info("Sampling from %s (step %d).", label, int(state.step))
+
+  sampling_shape = (batch, config.data.image_size, config.data.image_size,
+                    config.data.num_channels)
+  sampling_fn = sampling.get_sampling_fn(config, sde, model_def,
+                                         sampling_shape, inverse_scaler,
+                                         mesh=mesh)
+
+  def gather(x):
+    if multihost:
+      from jax.experimental import multihost_utils
+      return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+  num_samples = num_samples or batch
+  num_rounds = (num_samples - 1) // batch + 1
+  ema_params = state.ema.params
+  for r in range(num_rounds):
+    rng, sample_rng = jax.random.split(rng)
+    sample_rng = losses.as_prng_impl(sample_rng, prng_impl)
+    samples, nfe = sampling_fn(sample_rng, ema_params)
+    samples_np = gather(samples)
+    if not np.isfinite(samples_np).all():
+      raise RuntimeError(
+          f"non-finite samples in round {r} "
+          f"(sampler={config.sampling.method}; ODE non-convergence?)")
+    if not is_host0:
+      continue
+    samples_u8 = np.clip(samples_np * 255.0, 0, 255).astype(np.uint8)
+    io_utils.save_npz(os.path.join(out_dir, f"samples_{r}.npz"),
+                      samples=samples_u8)
+    nrow = int(np.ceil(np.sqrt(samples_np.shape[0])))
+    save_image(make_grid(samples_np, nrow, padding=2),
+               os.path.join(out_dir, f"samples_{r}.png"))
+    logging.info("round %d/%d: %d samples (NFE %d) -> %s", r + 1,
+                 num_rounds, samples_np.shape[0], int(np.asarray(nfe)),
+                 out_dir)

@@ -181,3 +181,28 @@ def test_evaluate_sampling_stage_with_fake_inception(tmp_path, monkeypatch):
     assert "inception_score" in keys
     assert "fid" in keys
     assert np.isfinite(z["fid"])
+
+
+def test_sample_mode_from_trained_workdir(workdir):
+  """--mode sample: restore the latest numbered checkpoint and write PNG
+  grids + uint8 npz without touching dataset/Inception/stats (the
+  reference-notebook generation workflow as a first-class mode)."""
+  from score_sde_pytorch_tpu import run_lib
+  cfg = _pipeline_config()
+  run_lib.sample(cfg, workdir, "generated", checkpoint=-1, num_samples=12)
+  outs = sorted(glob.glob(os.path.join(workdir, "generated",
+                                       "samples_*.npz")))
+  assert len(outs) == 2  # 12 samples at batch 8 -> 2 rounds
+  with np.load(outs[0]) as z:
+    s = z["samples"]
+    assert s.dtype == np.uint8
+    assert s.shape == (8, cfg.data.image_size, cfg.data.image_size, 3)
+  pngs = glob.glob(os.path.join(workdir, "generated", "samples_*.png"))
+  assert len(pngs) == 2
+
+
+def test_sample_mode_requires_a_checkpoint(tmp_path):
+  from score_sde_pytorch_tpu import run_lib
+  cfg = _pipeline_config()
+  with pytest.raises(FileNotFoundError, match="no checkpoint"):
+    run_lib.sample(cfg, str(tmp_path / "empty_wd"))
