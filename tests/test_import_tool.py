@@ -132,3 +132,33 @@ def test_imported_checkpoint_drives_evaluate(tmp_path, monkeypatch):
     assert np.isfinite(z["mean_loss"])
   with np.load(os.path.join(eval_dir, "report_2.npz")) as z:
     assert np.isfinite(z["fid"])
+
+
+@pytest.mark.slow
+def test_imported_checkpoint_drives_sample_mode(tmp_path):
+  """The MIGRATION.md two-command claim: reference .pth →
+  tools/import_reference_checkpoint.py → `--mode sample` produces images,
+  no dataset/Inception/stats anywhere."""
+  pytest.importorskip("torch")
+  from import_reference_checkpoint import import_checkpoint
+  from score_sde_pytorch_tpu import run_lib
+
+  cfg = _pipeline_config()
+  cfg.sampling.update({"method": "pc"})
+
+  _, state = losses.init_train_state(cfg, jax.random.PRNGKey(2))
+  params = jax.tree.map(np.asarray, state.params)
+  pth = str(tmp_path / "ref.pth")
+  interop.export_torch_checkpoint(params, cfg, pth, step=8)
+
+  workdir = str(tmp_path / "wd")
+  number = import_checkpoint(cfg, pth, workdir)
+
+  run_lib.sample(cfg, workdir, "generated", checkpoint=number,
+                 num_samples=8)
+  out = os.path.join(workdir, "generated")
+  with np.load(os.path.join(out, "samples_0.npz")) as z:
+    s = z["samples"]
+    assert s.dtype == np.uint8 and s.shape[0] == 8
+    assert np.isfinite(s).all()
+  assert os.path.exists(os.path.join(out, "samples_0.png"))
