@@ -122,6 +122,10 @@ def import_checkpoint(config, pth_path: str, workdir: str,
     mgr.save_meta(state)
   logging.info("imported %s (step %d) -> %s/checkpoints/checkpoint_%d",
                pth_path, step, workdir, number)
+  logging.info(
+      "next: `python -m score_sde_pytorch_tpu.main --config <same> "
+      "--workdir %s --mode sample` to generate images, or --mode eval "
+      "for the loss/bpd/FID stages.", workdir)
   return number
 
 
