@@ -191,7 +191,16 @@ class VPSDE(SDE):
 
 @dataclasses.dataclass(frozen=True)
 class SubVPSDE(SDE):
-  """Sub-variance-preserving SDE; reference ``sde_lib.py:167-204``."""
+  """Sub-variance-preserving SDE; reference ``sde_lib.py:167-204``.
+
+  Unlike the reference, we also define the discrete DDPM buffers
+  (``discrete_betas``/``alphas`` — same linear beta schedule as VP): the
+  Langevin/ALD correctors read ``sde.alphas`` for both VP *and* subVP
+  (reference ``sampling.py:261-265,300-306`` explicitly accepts subVPSDE
+  there), but the reference's ``subVPSDE`` never defines them, so its
+  corrector path crashes with AttributeError. Defining them realizes the
+  reference's documented intent.
+  """
   beta_min: float = 0.1
   beta_max: float = 20.0
   N: int = 1000
@@ -199,6 +208,14 @@ class SubVPSDE(SDE):
   @property
   def T(self) -> float:
     return 1.0
+
+  @property
+  def discrete_betas(self) -> Array:
+    return jnp.linspace(self.beta_min / self.N, self.beta_max / self.N, self.N)
+
+  @property
+  def alphas(self) -> Array:
+    return 1.0 - self.discrete_betas
 
   def beta_t(self, t: Array) -> Array:
     return self.beta_min + t * (self.beta_max - self.beta_min)

@@ -125,11 +125,14 @@ def test_ancestral_predictor_matches_reference(monkeypatch, sde_name):
           ours, _our_score, False))
 
 
-# subvp is excluded: the REFERENCE corrector path crashes there
-# (sampling.py:261-265,300-306 reads sde.alphas, which subVPSDE never
-# defines — no shipped subVP config pairs with a corrector). Ours defines
-# SubVPSDE.alphas (same discrete betas as VP), so correctors work; there is
-# no reference oracle to compare against.
+# subvp is excluded from the REFERENCE comparison: the reference corrector
+# path crashes there (sampling.py:261-265,300-306 reads sde.alphas, which
+# subVPSDE never defines, despite those isinstance checks explicitly
+# accepting subVPSDE — no shipped subVP config pairs with a corrector, so
+# the bug is latent upstream). Ours defines SubVPSDE.discrete_betas/alphas
+# (sde.py — same linear beta schedule as VP), so subVP correctors RUN; they
+# are pinned below against closed-form oracles instead
+# (test_subvp_langevin_equals_vp / test_subvp_ald_closed_form).
 @pytest.mark.parametrize("sde_name", ["vp", "ve"])
 @pytest.mark.parametrize("name", ["langevin", "ald", "none"])
 @pytest.mark.parametrize("n_steps", [1, 3])
@@ -143,3 +146,62 @@ def test_corrector_step_matches_reference(monkeypatch, sde_name, name,
           ref, _ref_score, snr=0.16, n_steps=n_steps).update_fn,
       lambda ours: our_sampling.get_corrector(name)(
           ours, _our_score, snr=0.16, n_steps=n_steps))
+
+
+def test_subvp_alphas_match_vp():
+  """SubVPSDE shares VP's linear beta schedule, so its discrete alphas must
+  equal VPSDE's exactly (the reference's intent at sampling.py:261-265)."""
+  vp, subvp = our_sde.VPSDE(N=N), our_sde.SubVPSDE(N=N)
+  np.testing.assert_array_equal(np.asarray(subvp.discrete_betas),
+                                np.asarray(vp.discrete_betas))
+  np.testing.assert_array_equal(np.asarray(subvp.alphas),
+                                np.asarray(vp.alphas))
+
+
+@pytest.mark.parametrize("n_steps", [1, 3])
+def test_subvp_langevin_equals_vp(monkeypatch, n_steps):
+  """VP-equivalence oracle: the Langevin corrector update reads ONLY
+  sde.alphas + score (reference sampling.py:253-282) and subVP's alphas
+  equal VP's, so with identical injected noise the two updates are
+  bitwise-identical."""
+  x, t, noise = _data()
+  monkeypatch.setattr(jax.random, "normal",
+                      lambda key, shape, dtype=jnp.float32: jnp.asarray(noise))
+  outs = {}
+  for tag, sde in (("vp", our_sde.VPSDE(N=N)),
+                   ("subvp", our_sde.SubVPSDE(N=N))):
+    fn = our_sampling.get_corrector("langevin")(sde, _our_score, snr=0.16,
+                                                n_steps=n_steps)
+    outs[tag] = fn(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))
+  np.testing.assert_array_equal(np.asarray(outs["vp"][0]),
+                                np.asarray(outs["subvp"][0]))
+  np.testing.assert_array_equal(np.asarray(outs["vp"][1]),
+                                np.asarray(outs["subvp"][1]))
+
+
+def test_subvp_ald_closed_form(monkeypatch):
+  """Closed-form oracle for ALD x subVP: one step with fixed noise must be
+  x_mean = x + eps*score, x' = x_mean + sqrt(2 eps) z with
+  eps = (snr*std)^2 * 2 * alpha, std the subVP marginal std
+  1 - exp(2*log_mean_coeff) (reference sampling.py:285-319 formula applied
+  with the subVP kernel)."""
+  snr = 0.16
+  x, t, noise = _data()
+  subvp = our_sde.SubVPSDE(N=N)
+  monkeypatch.setattr(jax.random, "normal",
+                      lambda key, shape, dtype=jnp.float32: jnp.asarray(noise))
+  fn = our_sampling.get_corrector("ald")(subvp, _our_score, snr=snr,
+                                         n_steps=1)
+  ox, omean = fn(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t))
+
+  timestep = (t * (N - 1)).astype(np.int32)
+  alpha = 1.0 - np.linspace(0.1 / N, 20.0 / N, N)[timestep]
+  log_mean = -0.25 * t ** 2 * (20.0 - 0.1) - 0.5 * t * 0.1
+  std = 1.0 - np.exp(2.0 * log_mean)
+  eps = (snr * std) ** 2 * 2 * alpha
+  score = -x / (1.0 + t)[:, None, None, None]
+  want_mean = x + eps[:, None, None, None] * score
+  want_x = want_mean + np.sqrt(2 * eps)[:, None, None, None] * noise
+  np.testing.assert_allclose(np.asarray(omean), want_mean, atol=1e-5,
+                             rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(ox), want_x, atol=1e-5, rtol=1e-5)
