@@ -7,6 +7,7 @@ per-step Python, no object re-construction.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -20,20 +21,39 @@ from score_sde_pytorch_tpu.sde import batch_mul
 Array = jax.Array
 
 
+def _pc_jit_kwargs(mesh, n_batch_args: int):
+  """in/out shardings for a PC chain over (rng, params, batch-args...):
+  rng+params replicated, every data-like argument and the samples sharded
+  over the mesh's ``data`` axis (the get_pc_sampler pattern,
+  sampling.py:255-261)."""
+  if mesh is None:
+    return {}
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  rep = NamedSharding(mesh, P())
+  data_sh = NamedSharding(mesh, P("data"))
+  return dict(in_shardings=(rep, rep) + (data_sh,) * n_batch_args,
+              out_shardings=data_sh)
+
+
 def get_pc_inpainter(sde, model_def, predictor, corrector, inverse_scaler,
                      snr: float, n_steps: int = 1,
                      probability_flow: bool = False, continuous: bool = False,
-                     denoise: bool = True, eps: float = 1e-5) -> Callable:
+                     denoise: bool = True, eps: float = 1e-5,
+                     mesh=None) -> Callable:
   """PC inpainter (reference controllable_generation.py:8-85).
 
   Returns ``inpainter(rng, params, data, mask) -> images`` where ``mask`` is
   1 for known pixels. The re-projection after every update diffuses the known
   region to time t: ``x = x·(1−mask) + (mean + std·z)·mask``.
+
+  With ``mesh`` given, inpainting is data-parallel over the mesh's ``data``
+  axis (data/mask batch-sharded, params replicated) — the same SPMD layout
+  as every sampler (sampling.py get_pc_sampler).
   """
   predictor = predictor or sampling._PREDICTORS["none"]
   corrector = corrector or sampling._CORRECTORS["none"]
 
-  @jax.jit
+  @functools.partial(jax.jit, **_pc_jit_kwargs(mesh, n_batch_args=2))
   def pc_inpainter(rng: Array, params, data: Array, mask: Array) -> Array:
     score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
                                    continuous=continuous)
@@ -96,16 +116,18 @@ def get_mask(image: Array) -> Array:
 def get_pc_colorizer(sde, model_def, predictor, corrector, inverse_scaler,
                      snr: float, n_steps: int = 1,
                      probability_flow: bool = False, continuous: bool = False,
-                     denoise: bool = True, eps: float = 1e-5) -> Callable:
+                     denoise: bool = True, eps: float = 1e-5,
+                     mesh=None) -> Callable:
   """PC colorizer (reference controllable_generation.py:88-181).
 
   ``colorizer(rng, params, gray_scale_img)``; the gray image must have equal
-  R=G=B channels.
+  R=G=B channels. ``mesh``: batch-shard the gray input and samples over the
+  mesh's ``data`` axis, as in `get_pc_inpainter`.
   """
   predictor = predictor or sampling._PREDICTORS["none"]
   corrector = corrector or sampling._CORRECTORS["none"]
 
-  @jax.jit
+  @functools.partial(jax.jit, **_pc_jit_kwargs(mesh, n_batch_args=1))
   def pc_colorizer(rng: Array, params, gray_scale_img: Array) -> Array:
     score_fn = mutils.get_score_fn(sde, model_def, params, train=False,
                                    continuous=continuous)

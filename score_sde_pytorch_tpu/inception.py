@@ -40,8 +40,41 @@ def _fold_bn(params: Dict[str, np.ndarray], prefix: str):
   return scale.astype(np.float32), shift.astype(np.float32)
 
 
+def _validate_raw(raw: Dict[str, np.ndarray]):
+  """Strict key/shape validation against `weight_spec` (VERDICT r4 #5):
+  a truncated or mis-exported npz must fail loudly here, not as a silently
+  wrong FID. Expects the converter's state_dict layout: per conv block
+  ``<name>.conv.weight`` (OIHW) + 4 BN arrays of shape (out,)."""
+  problems = []
+  for name, kh, kw, cin, cout in weight_spec():
+    w_key = f"{name}.conv.weight"
+    if w_key not in raw:
+      problems.append(f"missing {w_key}")
+    elif tuple(raw[w_key].shape) != (cout, cin, kh, kw):
+      problems.append(f"{w_key}: shape {tuple(raw[w_key].shape)} != "
+                      f"OIHW {(cout, cin, kh, kw)}")
+    for bn in ("weight", "bias", "running_mean", "running_var"):
+      b_key = f"{name}.bn.{bn}"
+      if b_key not in raw:
+        problems.append(f"missing {b_key}")
+      elif tuple(raw[b_key].shape) != (cout,):
+        problems.append(f"{b_key}: shape {tuple(raw[b_key].shape)} != "
+                        f"({cout},)")
+  if "fc.weight" in raw and tuple(raw["fc.weight"].shape)[1] != 2048:
+    problems.append(f"fc.weight: shape {tuple(raw['fc.weight'].shape)} — "
+                    "expected (num_classes, 2048)")
+  if problems:
+    head = "; ".join(problems[:8])
+    raise ValueError(
+        f"Inception weights npz fails the FID-InceptionV3 schema "
+        f"({len(problems)} problems): {head}"
+        f"{' ...' if len(problems) > 8 else ''} — re-export with "
+        "tools/convert_inception_weights.py")
+
+
 def load_params(npz_path: str) -> Dict[str, jnp.ndarray]:
   raw = dict(np.load(npz_path))
+  _validate_raw(raw)
   out: Dict[str, jnp.ndarray] = {}
   for key, val in raw.items():
     if key.endswith(".conv.weight"):

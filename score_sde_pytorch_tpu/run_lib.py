@@ -34,6 +34,24 @@ class _NullWriter:
   def flush(self): pass
 
 
+# Bound on the async-dispatch queue shared by the train loop and every eval
+# loop: each enqueued step holds its input batch (and outputs) in device
+# HBM, and the host can outrun the device by an entire epoch between sync
+# points — GB-scale on the memory-tight 256px/1024px configs. Fetching the
+# oldest result once more than MAX_INFLIGHT are queued is the completion
+# barrier (a host fetch is the reliable barrier on relayed backends); the
+# fetch overlaps the still-queued younger steps, so pipelining is preserved.
+MAX_INFLIGHT = 2
+
+
+def _bounded_drain(inflight, fetch):
+  """Pop + fetch the oldest inflight result once the queue exceeds
+  MAX_INFLIGHT. Returns the fetched value or None."""
+  if len(inflight) > MAX_INFLIGHT:
+    return fetch(inflight.popleft())
+  return None
+
+
 def _writer(workdir: str):
   if SummaryWriter is None:
     return _NullWriter()
@@ -160,14 +178,8 @@ def train(config, workdir: str) -> None:
   # The reference blocks on loss.item() every step (run_lib.py:133-134).
   step = initial_step
   t_last = time.time()
-  # Bound the async-dispatch queue: each enqueued chunk holds its batches
-  # in device HBM, and the host can outrun the device by
-  # log_freq/n_jitted chunks between sync points — GB-scale on the
-  # memory-tight 256px/1024px configs. Keep ≤ MAX_INFLIGHT chunks queued
-  # by fetching one scalar from the oldest chunk's loss (a host fetch is
-  # the reliable completion barrier on relayed backends); the fetch
-  # overlaps the still-queued younger chunks, so pipelining is preserved.
-  MAX_INFLIGHT = 2
+  # Keep ≤ MAX_INFLIGHT chunks queued (see the module constant) by fetching
+  # one scalar from the oldest chunk's loss.
   inflight = collections.deque()
   if step < num_train_steps:
     batches = next_batches(train_iter)
@@ -358,16 +370,21 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
 
     if config.eval.enable_loss:
       all_losses = []
+      inflight = collections.deque()
       # one exact full pass over the eval split (reference run_lib.py:286-303
       # iterates the finite eval_ds; our iterators are infinite but expose
-      # their true epoch size)
+      # their true epoch size). Fetches are deferred so host batch prep
+      # overlaps device compute, but the queue is bounded (MAX_INFLIGHT):
+      # an unbounded epoch of enqueued batches is GB-scale HBM at 256px.
       n_batches = _epoch_batches(eval_iter)
       for _ in range(n_batches):
         batch = shard_eval_batch(scaler(next(eval_iter)))
         state, loss = eval_step(state, batch)
-        all_losses.append(loss)  # device scalar; fetch deferred below so
-        # host batch prep overlaps device compute (async dispatch)
-      all_losses = [float(l) for l in all_losses]  # replicated scalars:
+        inflight.append(loss)
+        done = _bounded_drain(inflight, float)
+        if done is not None:
+          all_losses.append(done)
+      all_losses.extend(float(l) for l in inflight)  # replicated scalars:
       # every host fetches the same value, no gather needed
       if is_host0:
         io_utils.save_npz(
@@ -378,18 +395,26 @@ def evaluate(config, workdir: str, eval_folder: str = "eval") -> None:
                    float(np.mean(all_losses)))
 
     if config.eval.enable_bpd:
-      bpds = []
-      # test set repeated 5x for tighter CIs (reference run_lib.py:236-242)
+      gathered = []
+      inflight = collections.deque()
+      # test set repeated 5x for tighter CIs (reference run_lib.py:236-242).
+      # Same bounded-deferral pattern as the eval-loss loop: the bpd pass is
+      # the memory-tight case (Hutchinson jvp state per batch) the train
+      # loop's MAX_INFLIGHT comment warns about. bpd vectors are data-
+      # sharded over the mesh — the fetch gathers to full numpy
+      # (cross-host allgather when multihost).
       n_batches = _epoch_batches(bpd_iter) * bpd_num_repeats
       for _ in range(n_batches):
         batch = shard_eval_batch(scaler(next(bpd_iter)))
         rng, bpd_rng = jax.random.split(rng)
         bpd_rng = losses.as_prng_impl(bpd_rng, prng_impl)
         bpd, _, _ = likelihood_fn(bpd_rng, ema_params, batch)
-        bpds.append(bpd)  # device array; fetch deferred (as in eval-loss)
-      # bpd vectors are data-sharded over the mesh — gather to full numpy
-      # (cross-host allgather when multihost).
-      bpds = np.concatenate([gather(b) for b in bpds]).tolist()
+        inflight.append(bpd)
+        done = _bounded_drain(inflight, gather)
+        if done is not None:
+          gathered.append(done)
+      gathered.extend(gather(b) for b in inflight)
+      bpds = np.concatenate(gathered).tolist()
       if is_host0:
         io_utils.save_npz(
             os.path.join(eval_dir,
@@ -485,11 +510,26 @@ def sample(config, workdir: str, sample_folder: str = "generated",
 
   ckpt_mgr = ckpt_lib.CheckpointManager(workdir)
   if checkpoint < 0:
+    # Resolve "latest" ONCE, on process 0, and broadcast the choice: each
+    # process listing the directory independently can disagree when a
+    # snapshot lands concurrently (sampling mid-training is an advertised
+    # use) — a split numbered/meta choice deadlocks the collective restore
+    # (ADVICE r4; evaluate() syncs before its restore for the same reason).
     latest = ckpt_mgr.latest_numbered()
+    use_meta = (latest is None
+                and io_utils.exists(os.path.join(ckpt_mgr.meta_dir,
+                                                 "checkpoint")))
+    if multihost:
+      from jax.experimental import multihost_utils
+      # encode: >=0 numbered N, -1 meta, -2 nothing found
+      code = latest if latest is not None else (-1 if use_meta else -2)
+      code = int(multihost_utils.broadcast_one_to_all(
+          np.asarray(code, np.int32)))
+      latest, use_meta = (code if code >= 0 else None), code == -1
     if latest is not None:
       state = ckpt_mgr.restore_numbered(state, latest)
       label = f"checkpoint_{latest}"
-    elif io_utils.exists(os.path.join(ckpt_mgr.meta_dir, "checkpoint")):
+    elif use_meta:
       state = ckpt_mgr.restore_meta(state)
       label = "checkpoints-meta"
     else:
@@ -532,6 +572,11 @@ def sample(config, workdir: str, sample_folder: str = "generated",
           f"(sampler={config.sampling.method}; ODE non-convergence?)")
     if not is_host0:
       continue
+    # The device always generates whole batches (static shapes under jit);
+    # trim the LAST round so exactly --num_samples images are written
+    # (ADVICE r4: num_samples=12 at batch 8 used to write 16).
+    remaining = num_samples - r * batch
+    samples_np = samples_np[:min(batch, remaining)]
     samples_u8 = np.clip(samples_np * 255.0, 0, 255).astype(np.uint8)
     io_utils.save_npz(os.path.join(out_dir, f"samples_{r}.npz"),
                       samples=samples_u8)

@@ -197,8 +197,33 @@ def test_sample_mode_from_trained_workdir(workdir):
     s = z["samples"]
     assert s.dtype == np.uint8
     assert s.shape == (8, cfg.data.image_size, cfg.data.image_size, 3)
+  with np.load(outs[1]) as z:
+    # final round trimmed to exactly --num_samples total (ADVICE r4:
+    # 12 at batch 8 used to write 16)
+    assert z["samples"].shape[0] == 4
   pngs = glob.glob(os.path.join(workdir, "generated", "samples_*.png"))
   assert len(pngs) == 2
+
+
+def test_bounded_drain_caps_unfetched_results():
+  """The eval/bpd loops must never hold more than MAX_INFLIGHT un-fetched
+  device results (VERDICT r4 #4): _bounded_drain pops+fetches the oldest
+  exactly when the queue exceeds the bound, in FIFO order."""
+  import collections
+  from score_sde_pytorch_tpu import run_lib
+
+  fetched = []
+  inflight = collections.deque()
+  out = []
+  for i in range(10):
+    inflight.append(i)
+    done = run_lib._bounded_drain(inflight, lambda x: fetched.append(x) or x)
+    if done is not None:
+      out.append(done)
+    assert len(inflight) <= run_lib.MAX_INFLIGHT
+  out.extend(inflight)
+  assert out == list(range(10))  # FIFO, nothing dropped
+  assert fetched == list(range(10 - run_lib.MAX_INFLIGHT))
 
 
 def test_sample_mode_requires_a_checkpoint(tmp_path):
