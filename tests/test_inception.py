@@ -42,17 +42,19 @@ def test_fold_bn():
 
 
 def test_load_params_roundtrip(tmp_path):
+  # load_params validates the FULL schema (a partial npz now raises — see
+  # tests/test_inception_oracle.py), so build a complete state dict.
   rng = np.random.default_rng(0)
-  raw = {
-      "Conv2d_1a_3x3.conv.weight": rng.normal(size=(32, 3, 3, 3)).astype(
-          np.float32),
-      "Conv2d_1a_3x3.bn.weight": np.ones(32, np.float32),
-      "Conv2d_1a_3x3.bn.bias": np.zeros(32, np.float32),
-      "Conv2d_1a_3x3.bn.running_mean": np.zeros(32, np.float32),
-      "Conv2d_1a_3x3.bn.running_var": np.ones(32, np.float32),
-      "fc.weight": rng.normal(size=(1008, 2048)).astype(np.float32),
-      "fc.bias": np.zeros(1008, np.float32),
-  }
+  raw = {}
+  for name, kh, kw, cin, cout in inception.weight_spec():
+    raw[f"{name}.conv.weight"] = rng.normal(
+        size=(cout, cin, kh, kw)).astype(np.float32)
+    raw[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+    raw[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+    raw[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+  raw["fc.weight"] = rng.normal(size=(1008, 2048)).astype(np.float32)
+  raw["fc.bias"] = np.zeros(1008, np.float32)
   path = tmp_path / "w.npz"
   np.savez(path, **raw)
   p = inception.load_params(str(path))
