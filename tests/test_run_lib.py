@@ -231,3 +231,48 @@ def test_sample_mode_requires_a_checkpoint(tmp_path):
   cfg = _pipeline_config()
   with pytest.raises(FileNotFoundError, match="no checkpoint"):
     run_lib.sample(cfg, str(tmp_path / "empty_wd"))
+
+
+def test_evaluate_pipeline_bpd_stage_with_stub_likelihood(tmp_path,
+                                                          monkeypatch):
+  """The bpd eval stage end-to-end through run_lib.evaluate — bounded
+  dispatch queue, per-batch gather, 5x test-set repeats, npz artifact —
+  with a cheap stub likelihood (the likelihood math itself is pinned by
+  tests/test_likelihood.py; this test pins the LOOP, which previously had
+  no coverage and was rewritten for VERDICT r4 #4). Self-contained: trains
+  its own checkpoint_1 (evaluate() polls forever without one)."""
+  import jax
+  import jax.numpy as jnp
+  from score_sde_pytorch_tpu import likelihood as likelihood_lib
+  from score_sde_pytorch_tpu import run_lib
+
+  workdir = str(tmp_path / "wd")
+  cfg = _pipeline_config()
+  cfg.training.n_iters = 5
+  cfg.training.snapshot_freq = 4
+  cfg.training.snapshot_sampling = False
+  run_lib.train(cfg, workdir)
+
+  calls = []
+
+  def stub_get_likelihood_fn(sde, model_def, inverse_scaler, mesh=None):
+    def likelihood_fn(rng, params, batch):
+      calls.append(batch.shape)
+      bpd = jnp.full((batch.shape[0],), 3.25)
+      return bpd, jnp.zeros_like(batch), jnp.asarray(10)
+    return likelihood_fn
+
+  monkeypatch.setattr(likelihood_lib, "get_likelihood_fn",
+                      stub_get_likelihood_fn)
+  cfg.eval.update({"enable_loss": False, "enable_bpd": True,
+                   "bpd_dataset": "test"})
+  run_lib.evaluate(cfg, workdir, "eval_bpd")
+  out = os.path.join(workdir, "eval_bpd", "test_ckpt_1_bpd.npz")
+  assert os.path.exists(out)
+  with np.load(out) as z:
+    bpds = z["bpd"]
+  # synthetic test split: 128 examples, batch 8 -> 16 batches/epoch,
+  # repeated 5x for the test split (reference run_lib.py:236-242)
+  assert len(calls) == 16 * 5
+  assert bpds.shape == (16 * 5 * 8,)
+  np.testing.assert_allclose(bpds, 3.25)
