@@ -117,6 +117,25 @@ class ReverseSDE:
     return rev_f, rev_g
 
 
+def _check_discrete_betas_valid(sde) -> None:
+  """Loud trace-time guard for the discrete DDPM buffers.
+
+  The grid is ``linspace(beta_min/N, beta_max/N, N)``; with ``N <= beta_max``
+  the last betas exceed 1, alphas go negative, and every discrete rule
+  (reverse-diffusion discretize, ancestral sampling, Langevin/ALD step
+  sizes) silently returns NaN — a footgun the reference shares (it only
+  ever runs N=1000). Raising here (properties evaluate at trace time, not
+  inside compiled code) errors exactly when a discrete-buffer consumer is
+  built; purely continuous use at tiny N stays legal.
+  """
+  if sde.beta_max / sde.N >= 1.0:
+    raise ValueError(
+        f"{type(sde).__name__}(N={sde.N}, beta_max={sde.beta_max}): discrete "
+        f"betas reach {sde.beta_max / sde.N:.3g} >= 1, so alphas go negative "
+        "and every discrete sampling rule produces NaN. Use "
+        f"num_scales > beta_max (= {sde.beta_max:g}) for VP/subVP.")
+
+
 @dataclasses.dataclass(frozen=True)
 class VPSDE(SDE):
   """Variance-preserving SDE (DDPM); reference ``sde_lib.py:112-164``.
@@ -134,6 +153,7 @@ class VPSDE(SDE):
   # Discrete DDPM buffers (computed lazily, pure numpy-free jnp).
   @property
   def discrete_betas(self) -> Array:
+    _check_discrete_betas_valid(self)
     return jnp.linspace(self.beta_min / self.N, self.beta_max / self.N, self.N)
 
   @property
@@ -211,6 +231,7 @@ class SubVPSDE(SDE):
 
   @property
   def discrete_betas(self) -> Array:
+    _check_discrete_betas_valid(self)
     return jnp.linspace(self.beta_min / self.N, self.beta_max / self.N, self.N)
 
   @property

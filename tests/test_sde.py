@@ -196,3 +196,26 @@ def test_build_sde_from_config():
        "beta_min": 0.1, "beta_max": 20.0})
   s = sde_lib.build_sde(cfg)
   assert isinstance(s, sde_lib.VESDE) and s.N == 1000
+
+
+def test_vp_subvp_discrete_betas_guard():
+  """Discrete DDPM buffers with N <= beta_max would have beta_i >= 1 →
+  negative alphas → NaN from every discrete rule (a latent reference
+  footgun; it only ever runs N=1000). The buffers must raise loudly at
+  trace time instead; purely continuous use at tiny N stays legal."""
+  import pytest
+  from score_sde_pytorch_tpu import sde as sde_lib
+
+  for cls in (sde_lib.VPSDE, sde_lib.SubVPSDE):
+    tiny = cls(N=8)
+    with pytest.raises(ValueError, match="num_scales > beta_max"):
+      _ = tiny.discrete_betas
+    # continuous methods unaffected
+    x = jnp.ones((2, 4, 4, 1))
+    t = jnp.full((2,), 0.5)
+    drift, diffusion = tiny.sde(x, t)
+    assert np.isfinite(np.asarray(drift)).all()
+    # valid N works
+    ok = cls(N=32)
+    assert np.isfinite(np.asarray(ok.alphas)).all()
+    assert (np.asarray(ok.alphas) > 0).all()
