@@ -17,7 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_bench(budget_s, timeout_s):
-  env = dict(os.environ, BENCH_BUDGET_S=str(budget_s), JAX_PLATFORMS="cpu")
+  from subproc_env import cpu_child_env
+  env = cpu_child_env(BENCH_BUDGET_S=budget_s)
   proc = subprocess.run(
       [sys.executable, os.path.join(REPO, "bench.py")], cwd=REPO, env=env,
       capture_output=True, text=True, timeout=timeout_s)

@@ -35,7 +35,8 @@ def test_cli_train_tiny(tmp_path, mode):
       "--config.model.num_scales=8",
       "--config.data.image_size=16",
   ]
-  env = dict(os.environ)
+  from subproc_env import cpu_child_env
+  env = cpu_child_env()
   result = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
                           cwd="/root/repo", env=env)
   assert result.returncode == 0, result.stderr[-3000:]
@@ -79,7 +80,8 @@ def test_cli_compilation_cache_flag(tmp_path):
   # --xla_force_host_platform_device_count=8 into os.environ, which the child
   # would inherit and then (correctly) reject batch_size=4 as not divisible
   # by 8 (run_lib device-count check).
-  env = dict(os.environ)
+  from subproc_env import cpu_child_env
+  env = cpu_child_env()
   env["XLA_FLAGS"] = " ".join(
       f for f in env.get("XLA_FLAGS", "").split()
       if "xla_force_host_platform_device_count" not in f)

@@ -14,13 +14,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_demo_script_produces_all_artifacts(tmp_path):
-  env = dict(os.environ, JAX_PLATFORMS="cpu")
+  from subproc_env import cpu_child_env
+  env = cpu_child_env()
   env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
   out_dir = tmp_path / "demo_out"
   proc = subprocess.run(
       [sys.executable, os.path.join(REPO, "examples", "demo.py"),
        "--tiny", "--out", str(out_dir)],
-      cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
   assert proc.returncode == 0, proc.stderr[-2000:]
   for line_head in ("PC sampling:", "ODE sampling:", "dpmpp sampling:",
                     "bits/dim:"):

@@ -153,9 +153,8 @@ def test_compute_dataset_stats_tool_end_to_end(tmp_path, monkeypatch):
   np.savez(weights, **raw)
 
   out_dir = tmp_path / "stats"
-  env = dict(os.environ)
-  env["INCEPTION_WEIGHTS_NPZ"] = str(weights)
-  env["JAX_PLATFORMS"] = "cpu"
+  from subproc_env import cpu_child_env
+  env = cpu_child_env(INCEPTION_WEIGHTS_NPZ=weights)
   proc = subprocess.run(
       [sys.executable, "tools/compute_dataset_stats.py",
        "--config", "score_sde_pytorch_tpu/configs/ve/cifar10_ncsnpp_continuous.py",

@@ -118,10 +118,11 @@ def test_convert_inception_weights_tool_end_to_end(tmp_path):
   src = tmp_path / "pt_inception-synth.pth"
   dst = tmp_path / "converted.npz"
   torch.save(sd, src)
+  from subproc_env import cpu_child_env
   proc = subprocess.run(
       [sys.executable, "tools/convert_inception_weights.py",
        str(src), str(dst)],
-      capture_output=True, text=True)
+      capture_output=True, text=True, env=cpu_child_env())
   assert proc.returncode == 0, proc.stderr
   assert dst.exists()
 

@@ -56,7 +56,8 @@ def _free_port() -> int:
 
 
 def _child_env() -> dict:
-  env = dict(os.environ)
+  from subproc_env import cpu_child_env
+  env = cpu_child_env()
   # 2 virtual CPU devices per process (conftest's 8 would demand batch 16+).
   flags = [f for f in env.get("XLA_FLAGS", "").split()
            if "xla_force_host_platform_device_count" not in f]
