@@ -560,7 +560,12 @@ def main():
               bench_dpmpp(fresh_config(), on_accelerator), 2)})),
       ("model_zoo", 420.0, lambda: rep.extra.update(
           bench_model_zoo(on_accelerator))),
-      ("highres", 600.0, lambda: rep.extra.update(
+      # 420 s: two church-256 compiles dominate (~300-400 s measured warm);
+      # a cache-warm run finishing headline+train+dpmpp+zoo in ~1030 s
+      # (stage_walls_s, PARITY round-5 addendum) then has ~470 s left, and
+      # the watchdog still emits the complete 4-stage JSON at the budget if
+      # a cold compile overruns.
+      ("highres", 420.0, lambda: rep.extra.update(
           bench_highres(on_accelerator))),
   ]
   skipped = []
